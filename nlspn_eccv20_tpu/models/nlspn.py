@@ -1,0 +1,370 @@
+"""NLSPN model, TPU-native (Flax linen, NHWC).
+
+Re-design of the reference network (/root/reference/src/model/nlspnmodel.py):
+dual-branch encoder (RGB conv + S2D sparse-depth pyramid), ResNet-18/34
+stages, a shared transposed-conv decoder with skip concats, and four heads
+(initial depth, offsets+affinities, confidence), followed by ``prop_time``
+iterations of confidence-weighted spatial propagation with a ConvGRU
+affinity refresh.
+
+TPU-first choices:
+  * The propagation loop runs under ``flax.linen.scan`` (GRU weights
+    broadcast across iterations) instead of a 12x-unrolled Python loop, so
+    the HLO stays compact and compile time flat in ``prop_time``.
+  * Each loop iteration's elementwise work (confidence weighting, input
+    preservation blend, clamping) is fused into the propagation stencil via
+    the Pallas kernel (`ops/pallas/local_prop.py`) when on TPU.
+  * Everything is static-shaped; the decode_aff over-padding trim
+    (reference ``_clip_as``, :237-250) is a static slice.
+
+Architecture trace parity: SURVEY.md section 2.2; channels/resolutions match
+the reference exactly (encoder 32+32 -> 64 -> 128@1/2 -> 256@1/4 -> 256@1/8;
+decoder 128@1/4, 64@1/2, 64@1/1; heads on concat(fd2, fe2) then fe1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nlspn_eccv20_tpu.config import Config
+from nlspn_eccv20_tpu.models.common import (
+    Conv,
+    ConvBNReLU,
+    ConvTBNReLU,
+    clip_to,
+    concat_trim,
+)
+from nlspn_eccv20_tpu.models.resnet import make_encoder_stages
+from nlspn_eccv20_tpu.ops import (
+    insert_center_offset,
+    normalize_affinity,
+    propagate_deformable,
+    propagate_local,
+)
+
+
+class S2D(nn.Module):
+    """Sparse-to-dense depth encoder (reference nlspnmodel.py:406-462).
+
+    Min-pool pyramid (k = 3,5,7,9; zeros flagged with a -999 sentinel so they
+    never win the min) + max-pool pyramid (k = 11,13), two 1x1 convs, concat
+    with the raw sparse depth, 3x3 conv to 32 channels. All BN-free.
+    """
+
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, dep, train: bool = False):
+        pools = []
+        d = dep[..., 0]
+        for s in (3, 5, 7, 9):
+            p = s // 2
+            neg = jnp.where(d == 0.0, -999.0, -d)
+            z = -jax.lax.reduce_window(
+                neg, -jnp.inf, jax.lax.max, (1, s, s), (1, 1, 1),
+                ((0, 0), (p, p), (p, p)))
+            z = jnp.where(z == 999.0, 0.0, z)
+            pools.append(z)
+        for s in (11, 13):
+            p = s // 2
+            z = jax.lax.reduce_window(
+                d, -jnp.inf, jax.lax.max, (1, s, s), (1, 1, 1),
+                ((0, 0), (p, p), (p, p)))
+            pools.append(z)
+        pyr = jnp.stack(pools, axis=-1)  # (B, H, W, 6)
+
+        feat = ConvBNReLU(8, kernel=1, bn=False, dtype=self.dtype,
+                          name="pool_conv0")(pyr, train)
+        feat = ConvBNReLU(16, kernel=1, bn=False, dtype=self.dtype,
+                          name="pool_conv1")(feat, train)
+        feat = jnp.concatenate([feat, dep.astype(feat.dtype)], axis=-1)
+        return ConvBNReLU(32, kernel=3, bn=False, dtype=self.dtype,
+                          name="conv")(feat, train)
+
+
+class ConvGRU(nn.Module):
+    """3x3 conv GRU over the affinity hidden state (reference :386-403)."""
+
+    hidden_dim: int = 128
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(Conv(self.hidden_dim, 3, dtype=self.dtype, name="convz")(hx))
+        r = nn.sigmoid(Conv(self.hidden_dim, 3, dtype=self.dtype, name="convr")(hx))
+        q = jnp.tanh(Conv(self.hidden_dim, 3, dtype=self.dtype, name="convq")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1.0 - z) * h + z * q
+
+
+class EncodeDep(nn.Module):
+    """Depth -> GRU input feature at 1/8 (reference :134-138)."""
+
+    cfg: Config
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg.GRU_input_dim
+        x = ConvBNReLU(16, 3, 2, bn=False, dtype=self.dtype, name="conv0")(x, train)
+        x = ConvBNReLU(2 * c, 3, 2, bn=False, dtype=self.dtype, name="conv1")(x, train)
+        return ConvBNReLU(c, 3, 2, bn=False, dtype=self.dtype, name="conv2")(x, train)
+
+
+class DecodeAff(nn.Module):
+    """GRU hidden state -> raw neighbor affinities at 1/1 (reference :140-144)."""
+
+    cfg: Config
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg.GRU_hidden_dim
+        x = ConvTBNReLU(2 * c, 3, 2, 1, 1, bn=False, dtype=self.dtype,
+                        name="deconv0")(x, train)
+        x = ConvTBNReLU(16, 3, 2, 1, 1, bn=False, dtype=self.dtype,
+                        name="deconv1")(x, train)
+        return ConvTBNReLU(self.cfg.num_neighbors, 3, 2, 1, 1, bn=False,
+                           relu=False, zero_init=self.cfg.zero_init_aff,
+                           dtype=self.dtype, name="deconv2")(x, train)
+
+
+class EncodeAff(nn.Module):
+    """Initial affinity -> GRU hidden state at 1/8, tanh (reference :127-132)."""
+
+    cfg: Config
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg.GRU_hidden_dim
+        x = ConvBNReLU(16, 3, 2, bn=False, dtype=self.dtype, name="conv0")(x, train)
+        x = ConvBNReLU(2 * c, 3, 2, bn=False, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBNReLU(c, 3, 2, bn=False, relu=False, dtype=self.dtype,
+                       name="conv2")(x, train)
+        return jnp.tanh(x)
+
+
+def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off):
+    """One propagation step + input-preservation blend + optional clamp.
+
+    Reference loop body (nlspnmodel.py:350-361). Uses the fused Pallas kernel
+    for the fixed-local path when available.
+    """
+    feat = pred * conf if conf is not None else pred
+    if off is not None:
+        out = propagate_deformable(feat, off, aff, kernel=cfg.prop_kernel)
+        if cfg.preserve_input:
+            m = (dep > 0.0).astype(out.dtype)
+            out = (1.0 - m) * out + m * dep
+        if cfg.always_clip:
+            out = jnp.maximum(out, 0.0)
+        return out
+
+    impl = cfg.prop_impl
+    if impl == "auto":
+        # Measured on v5e (see bench.py): for the per-step path XLA's fusion
+        # of pad+stencil+blend edges out the Pallas stencil inside the
+        # GRU-refresh loop, so 'auto' currently resolves to XLA. The Pallas
+        # kernels stay selectable via prop_impl='pallas' and are benchmarked
+        # continuously.
+        impl = "xla"
+
+    if impl == "pallas":
+        from nlspn_eccv20_tpu.ops.pallas.local_prop import fused_prop_step
+
+        return fused_prop_step(
+            pred, aff, conf=conf, dep=dep if cfg.preserve_input else None,
+            kernel=cfg.prop_kernel, preserve=cfg.preserve_input,
+            clip=cfg.always_clip)
+
+    out = propagate_local(feat, aff, kernel=cfg.prop_kernel)
+    if cfg.preserve_input:
+        m = (dep > 0.0).astype(out.dtype)
+        out = (1.0 - m) * out + m * dep
+    if cfg.always_clip:
+        out = jnp.maximum(out, 0.0)
+    return out
+
+
+class PropStep(nn.Module):
+    """Scanned loop body: propagate + blend + (GRU affinity refresh).
+
+    Runs iterations 1 .. K-1 of the reference loop (nlspnmodel.py:340-373);
+    the final iteration (no GRU refresh afterwards) runs outside the scan.
+    """
+
+    cfg: Config
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, carry, _):
+        cfg = self.cfg
+        pred = _prop_and_blend(cfg, carry["pred"], carry["aff"],
+                               carry.get("conf"), carry.get("dep"),
+                               carry.get("off"))
+        carry = dict(carry, pred=pred)
+
+        if cfg.use_GRU:
+            dep_feat = EncodeDep(cfg, dtype=self.dtype, name="encode_dep")(
+                (pred / cfg.max_depth).astype(self.dtype or pred.dtype))
+            aff_feat = ConvGRU(cfg.GRU_hidden_dim, dtype=self.dtype,
+                               name="GRU")(carry["aff_feat"], dep_feat)
+            raw = DecodeAff(cfg, dtype=self.dtype, name="decode_aff")(aff_feat)
+            raw = clip_to(raw, pred.shape[1], pred.shape[2]).astype(jnp.float32)
+            aff = normalize_affinity(raw, carry["gamma"], cfg.affinity)
+            carry = dict(carry, aff_feat=aff_feat, aff=aff)
+
+        return carry, pred
+
+
+class NLSPNModel(nn.Module):
+    """Full NLSPN network. sample: {'rgb': (B,H,W,3), 'dep': (B,H,W,1)}."""
+
+    cfg: Config
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.precision == "bf16" else jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: Dict[str, jnp.ndarray], train: bool = False):
+        cfg = self.cfg
+        dt = self.dtype
+        rgb = sample["rgb"].astype(dt)
+        dep = sample["dep"].astype(jnp.float32)
+        nn_ = cfg.num_neighbors
+
+        # ---- Encoder (reference :276-288) ----
+        fe1_rgb = ConvBNReLU(32, 3, 1, bn=False, dtype=dt,
+                             name="conv1_rgb")(rgb, train)
+        if cfg.use_S2D:
+            fe1_dep = S2D(dtype=dt, name="S2D")(dep.astype(dt), train)
+        else:
+            fe1_dep = ConvBNReLU(32, 3, 1, bn=False, dtype=dt,
+                                 name="conv1_dep")(dep.astype(dt), train)
+        fe1 = jnp.concatenate([fe1_rgb, fe1_dep], axis=-1)          # 64 @ 1/1
+
+        layer1, layer2, layer3 = make_encoder_stages(cfg.network, dtype=dt)
+        fe2 = layer1(fe1, train=train)                               # 64 @ 1/1
+        fe3 = layer2(fe2, train=train)                               # 128 @ 1/2
+        fe4 = layer3(fe3, train=train)                               # 256 @ 1/4
+        fe5 = ConvBNReLU(256, 3, 2, dtype=dt, name="conv5")(fe4, train)  # 256 @ 1/8
+
+        # ---- Shared decoder (reference :291-293) ----
+        fd4 = ConvTBNReLU(128, 3, 2, 1, 1, dtype=dt, name="dec4")(fe5, train)
+        fd3 = ConvTBNReLU(64, 3, 2, 1, 1, dtype=dt, name="dec3")(
+            concat_trim(fd4, fe4), train)
+        fd2 = ConvTBNReLU(64, 3, 2, 1, 1, dtype=dt, name="dec2")(
+            concat_trim(fd3, fe3), train)
+
+        # ---- Heads (reference :296-315) ----
+        id_fd1 = ConvBNReLU(64, 3, 1, dtype=dt, name="id_dec1")(
+            concat_trim(fd2, fe2), train)
+        pred_init = ConvBNReLU(1, 3, 1, bn=False, relu=True, dtype=dt,
+                               name="id_dec0")(concat_trim(id_fd1, fe1), train)
+        pred_init = pred_init.astype(jnp.float32)
+
+        off_aff_fd1 = ConvBNReLU(64, 3, 1, dtype=dt, name="off_aff_dec1")(
+            concat_trim(fd2, fe2), train)
+        n_out = 3 * nn_ if cfg.offset else nn_
+        off_aff = ConvBNReLU(n_out, 3, 1, bn=False, relu=False,
+                             zero_init=cfg.zero_init_aff, dtype=dt,
+                             name="off_aff_dec0")(
+            concat_trim(off_aff_fd1, fe1), train).astype(jnp.float32)
+
+        if cfg.offset:
+            off_raw = off_aff[..., :2 * nn_]
+            aff_raw = off_aff[..., 2 * nn_:]
+            off = insert_center_offset(off_raw)
+        else:
+            off = None
+            aff_raw = off_aff
+
+        if cfg.conf_prop:
+            cf_fd1 = ConvBNReLU(64, 3, 1, dtype=dt, name="cf_dec1")(
+                concat_trim(fd2, fe2), train)
+            confidence = nn.sigmoid(
+                Conv(1, 3, 1, dtype=dt, name="cf_dec0")(
+                    concat_trim(cf_fd1, fe1))).astype(jnp.float32)
+        else:
+            confidence = None
+
+        # ---- Affinity normalization (reference :179-201,323-325) ----
+        gamma_init = {
+            "TC": float(nn_),
+            "TGASS": cfg.affinity_gamma * nn_,
+        }.get(cfg.affinity, 1.0)
+        gamma = self.param("aff_scale_const",
+                           nn.initializers.constant(gamma_init), (1,),
+                           jnp.float32)
+        if cfg.affinity != "TGASS":
+            # frozen for AS/ASS/TC (reference :95-102)
+            gamma = jax.lax.stop_gradient(gamma)
+        aff = normalize_affinity(aff_raw, gamma, cfg.affinity)
+
+        # ---- Input preservation setup (reference :328-334) ----
+        conf = confidence
+        if cfg.preserve_input:
+            mask_fix = (dep > 0.0).astype(jnp.float32)
+            mask_fix = jax.lax.stop_gradient(mask_fix)
+            if conf is not None:
+                conf = (1.0 - mask_fix) * conf + mask_fix
+            confidence = conf
+
+        # ---- Pre-loop blend/clip for k == 1 (reference :342-348) ----
+        new_pred = pred_init
+        if cfg.preserve_input:
+            m = jax.lax.stop_gradient((dep > 0.0).astype(jnp.float32))
+            new_pred = (1.0 - m) * new_pred + m * dep
+        if cfg.always_clip:
+            new_pred = jnp.maximum(new_pred, 0.0)
+
+        # ---- Propagation loop (reference :340-373) ----
+        carry = {"pred": new_pred, "aff": aff}
+        if conf is not None:
+            carry["conf"] = conf
+        if cfg.preserve_input:
+            carry["dep"] = dep
+        if off is not None:
+            carry["off"] = off
+        if cfg.use_GRU:
+            carry["aff_feat"] = EncodeAff(cfg, dtype=dt, name="encode_aff")(
+                aff.astype(dt), train)
+            carry["gamma"] = gamma
+
+        k = cfg.prop_time
+        inter = []
+        if k > 1:
+            Scanned = nn.scan(
+                PropStep,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                length=k - 1,
+            )
+            carry, ys = Scanned(cfg, dtype=dt, name="prop_step")(carry, None)
+            inter = [ys[i] for i in range(k - 1)]
+
+        # Final iteration: propagate only, no GRU refresh (reference k == K).
+        new_pred = _prop_and_blend(cfg, carry["pred"], carry["aff"],
+                                   carry.get("conf"), carry.get("dep"),
+                                   carry.get("off"))
+        inter.append(new_pred)
+
+        if not cfg.always_clip:
+            new_pred = jnp.maximum(new_pred, 0.0)
+
+        return {
+            "pred": new_pred,
+            "pred_init": pred_init,
+            "pred_inter": inter,
+            "offset": off,
+            "aff": carry["aff"],
+            "gamma": jax.lax.stop_gradient(gamma),
+            "confidence": confidence,
+        }

@@ -1,0 +1,18 @@
+"""TPU-native op library for NLSPN.
+
+Public surface:
+  * affinity:  normalize_affinity, insert_center_affinity, insert_center_offset
+  * propagate: propagate_local, propagate_deformable, propagate_step
+  * pallas:    fused TPU kernels behind the same signatures
+"""
+
+from nlspn_eccv20_tpu.ops.affinity import (  # noqa: F401
+    normalize_affinity,
+    insert_center_affinity,
+    insert_center_offset,
+)
+from nlspn_eccv20_tpu.ops.propagate import (  # noqa: F401
+    propagate_local,
+    propagate_deformable,
+    propagate_step,
+)

@@ -1,0 +1,145 @@
+"""Spatial propagation ops (the NLSPN hot path), pure-JAX reference impls.
+
+Two propagation flavors, matching /root/reference/src/model/nlspnmodel.py:
+
+  * ``propagate_local`` — the fork's default path (``--offset`` False):
+    replicate-pad the depth plane and take the affinity-weighted sum of the
+    k*k integer-shifted neighbors (reference ``_propagate_once`` no-offset
+    branch, nlspnmodel.py:210-224). On TPU this is a 9-point stencil; the
+    pure-JAX form below compiles to one fused VPU loop (no 9x-unfolded
+    tensor is materialized after XLA fusion). A Pallas kernel with the same
+    signature lives in ``ops/pallas/local_prop.py``.
+
+  * ``propagate_deformable`` — the non-local path (``--offset`` True):
+    affinity-modulated bilinear gather at per-pixel learned offsets. The
+    reference routes this through DCNv2 with a frozen all-ones 1x1xkxk
+    weight and zero bias (nlspnmodel.py:107-121,204-208) so the "conv"
+    degenerates to exactly this gather; we implement the gather directly
+    (4 corner gathers + validity masks == the CUDA ``mdmcn_im2col_bilinear``
+    zero-outside semantics, modulated_deform_im2col_cuda.cuh:24-54) and let
+    XLA derive the (deterministic) scatter-add transpose for the backward
+    instead of CUDA's atomicAdd.
+
+Layout: NHWC; depth planes are (B, H, W, 1), affinities (B, H, W, K2),
+offsets (B, H, W, 2*K2) with per-neighbor (dy, dx) pairs contiguous
+(matching the reference ``_off_insert`` layout, nlspnmodel.py:252-259).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _neighbor_shifts(kernel: int):
+    """Row-major (dy, dx) shifts for a kernel x kernel stencil, center included."""
+    r = kernel // 2
+    return [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+
+
+def propagate_local(feat: jnp.ndarray, aff: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
+    """Fixed-local affinity-weighted propagation step.
+
+    feat: (B, H, W, 1) depth plane (already confidence-weighted by caller).
+    aff:  (B, H, W, K2) normalized affinities, K2 = kernel**2, row-major
+          neighbor order with the center at index K2 // 2.
+    Returns (B, H, W, 1).
+    """
+    assert kernel % 2 == 1
+    k2 = kernel * kernel
+    assert aff.shape[-1] == k2, f"aff has {aff.shape[-1]} ch, want {k2}"
+    b, h, w, c = feat.shape
+    assert c == 1
+
+    r = kernel // 2
+    padded = jnp.pad(feat[..., 0], ((0, 0), (r, r), (r, r)), mode="edge")
+    out = jnp.zeros((b, h, w), dtype=feat.dtype)
+    for idx, (dy, dx) in enumerate(_neighbor_shifts(kernel)):
+        window = jax.lax.dynamic_slice(
+            padded, (0, dy + r, dx + r), (b, h, w)
+        )
+        out = out + window * aff[..., idx]
+    return out[..., None]
+
+
+def propagate_deformable(
+    feat: jnp.ndarray,
+    offset: jnp.ndarray,
+    aff: jnp.ndarray,
+    kernel: int = 3,
+) -> jnp.ndarray:
+    """Non-local propagation: per-pixel bilinear gather at learned offsets.
+
+    feat:   (B, H, W, 1)
+    offset: (B, H, W, 2*K2) learned (dy, dx) per neighbor (center pair zero).
+    aff:    (B, H, W, K2) normalized affinities (modulation).
+    Returns (B, H, W, 1).
+
+    Sampling location for neighbor j at pixel (y, x):
+        (y + dy_j + off_y_j(y, x),  x + dx_j + off_x_j(y, x))
+    where (dy_j, dx_j) is the integer kernel shift. Samples fully outside the
+    image contribute zero (DCNv2 zero-padding semantics).
+    """
+    b, h, w, c = feat.shape
+    assert c == 1
+    k2 = kernel * kernel
+    assert aff.shape[-1] == k2 and offset.shape[-1] == 2 * k2
+
+    dtype = feat.dtype
+    off = offset.reshape(b, h, w, k2, 2)
+    shifts = jnp.asarray(_neighbor_shifts(kernel), dtype=dtype)  # (K2, 2)
+
+    ys = jax.lax.broadcasted_iota(dtype, (b, h, w, k2), 1)
+    xs = jax.lax.broadcasted_iota(dtype, (b, h, w, k2), 2)
+    sy = ys + shifts[:, 0] + off[..., 0]
+    sx = xs + shifts[:, 1] + off[..., 1]
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    ly = sy - y0  # differentiable in offset (d/d off = 1)
+    lx = sx - x0
+
+    flat = feat[..., 0].reshape(b, h * w)
+
+    def corner(yc, xc, wy, wx):
+        valid = (yc >= 0) & (yc < h) & (xc >= 0) & (xc < w)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        idx = (yi * w + xi).reshape(b, h * w * k2)
+        vals = jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, k2)
+        return jnp.where(valid, vals, 0.0) * wy * wx
+
+    acc = (
+        corner(y0, x0, 1.0 - ly, 1.0 - lx)
+        + corner(y0, x0 + 1, 1.0 - ly, lx)
+        + corner(y0 + 1, x0, ly, 1.0 - lx)
+        + corner(y0 + 1, x0 + 1, ly, lx)
+    )
+    out = jnp.sum(acc * aff, axis=-1, keepdims=True)
+    return out
+
+
+def propagate_step(
+    feat: jnp.ndarray,
+    aff: jnp.ndarray,
+    offset=None,
+    kernel: int = 3,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """One propagation step; dispatches local vs deformable and backend.
+
+    impl: 'auto' | 'xla' | 'pallas'. 'pallas' (and 'auto' on TPU) uses the
+    fused Pallas stencil kernel for the local path; the deformable path is
+    currently pure-JAX on all backends.
+    """
+    if offset is not None:
+        return propagate_deformable(feat, offset, aff, kernel=kernel)
+    if impl in ("xla", "auto"):
+        return propagate_local(feat, aff, kernel=kernel)
+    if impl == "pallas":
+        from nlspn_eccv20_tpu.ops.pallas.local_prop import (
+            propagate_local_pallas,
+        )
+
+        return propagate_local_pallas(feat, aff, kernel=kernel)
+    raise ValueError(f"unknown impl {impl}")
