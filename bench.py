@@ -1,0 +1,179 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: NYU-config training throughput (images/s) on one chip — full
+fork-default NLSPN (resnet18, S2D, ConvGRU, 12 prop steps, TGASS,
+228x304, batch 12), forward+backward+optimizer under jit.
+
+Also measured and printed to stderr as context: single-image inference
+latency, propagation-kernel microbenchmarks (XLA vs Pallas per-step vs
+Pallas whole-loop).
+
+vs_baseline: ratio against the first recorded run on this hardware
+(bench_baseline.json, created on first run) — the reference publishes no
+throughput numbers (BASELINE.md), so the baseline tracks regressions across
+rounds rather than a foreign implementation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _eprint(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_fn(f, *args, warmup=2, iters=10):
+    import jax
+
+    for _ in range(warmup):
+        out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_train_step(cfg, b, h, w):
+    import jax
+    import numpy as np
+
+    from nlspn_eccv20_tpu.train import Engine
+
+    rng = np.random.default_rng(0)
+    gt = np.clip(rng.random((b, h, w, 1)) * 8, 0.1, None).astype(np.float32)
+    batch = {
+        "rgb": rng.standard_normal((b, h, w, 3)).astype(np.float32),
+        "dep": (gt * (rng.random((b, h, w, 1)) > 0.97)).astype(np.float32),
+        "gt": gt,
+    }
+    eng = Engine(cfg, steps_per_epoch=100)
+    state = eng.init_state((h, w))
+    step = eng.train_step_fn()
+    placed = eng.put_train_batch(batch)
+
+    holder = {"state": state}
+
+    def run(placed):
+        holder["state"], aux = step(holder["state"], placed)
+        return aux["loss"]
+
+    dt = time_fn(run, placed, warmup=3, iters=10)
+    return b / dt, dt
+
+
+def bench_infer(cfg, h, w):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nlspn_eccv20_tpu.models import get_model
+
+    model = get_model(cfg)
+    rng = np.random.default_rng(0)
+    sample = {
+        "rgb": jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32),
+        "dep": jnp.asarray((rng.random((1, h, w, 1)) > 0.97) * 5, jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    fwd = jax.jit(lambda v, s: model.apply(v, s, train=False)["pred"])
+    dt = time_fn(fwd, variables, sample, warmup=2, iters=20)
+    return dt
+
+
+def bench_prop_kernels(b, h, w, steps=12):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nlspn_eccv20_tpu.ops.propagate import propagate_local
+    from nlspn_eccv20_tpu.ops.pallas.local_prop import (
+        fused_prop_step,
+        propagate_loop_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.standard_normal((b, h, w, 1)), jnp.float32)
+    conf = jnp.asarray(rng.random((b, h, w, 1)), jnp.float32)
+    dep = jnp.asarray((rng.random((b, h, w, 1)) > 0.9) * 1.0, jnp.float32)
+    aff = jnp.asarray(rng.standard_normal((b, h, w, 9)) * 0.11, jnp.float32)
+
+    def xla_loop(pred, aff, conf, dep):
+        m = (dep > 0).astype(pred.dtype)
+        cur = (1 - m) * pred + m * dep
+        for _ in range(steps):
+            o = propagate_local(cur * conf, aff)
+            cur = (1 - m) * o + m * dep
+        return cur
+
+    def pallas_step_loop(pred, aff, conf, dep):
+        m = (dep > 0).astype(pred.dtype)
+        cur = (1 - m) * pred + m * dep
+        for _ in range(steps):
+            cur = fused_prop_step(cur, aff, conf=conf, dep=dep, preserve=True)
+        return cur
+
+    results = {}
+    results["xla"] = time_fn(jax.jit(xla_loop), pred, aff, conf, dep)
+    results["pallas_step"] = time_fn(jax.jit(pallas_step_loop), pred, aff, conf, dep)
+    try:
+        f = jax.jit(lambda p, a, c, d: propagate_loop_pallas(
+            p, a, conf=c, dep=d, steps=steps, preserve=True, pre_blend=True))
+        results["pallas_loop"] = time_fn(f, pred, aff, conf, dep)
+    except Exception as e:  # KITTI-size loop kernel exceeds VMEM currently
+        results["pallas_loop"] = None
+        _eprint(f"  pallas_loop unavailable at {h}x{w}: {type(e).__name__}")
+    return results
+
+
+def main():
+    from nlspn_eccv20_tpu.config import Config
+
+    import jax
+
+    _eprint(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    cfg = Config(patch_height=228, patch_width=304, batch_size=12,
+                 prop_impl="auto").finalize()
+
+    imgs_per_s, step_dt = bench_train_step(cfg, 12, 228, 304)
+    _eprint(f"NYU train step (b=12): {step_dt*1e3:.1f} ms -> {imgs_per_s:.1f} images/s")
+
+    infer_dt = bench_infer(cfg, 228, 304)
+    _eprint(f"NYU inference (b=1): {infer_dt*1e3:.2f} ms/image")
+
+    for (b, h, w) in [(12, 228, 304), (4, 240, 1216)]:
+        r = bench_prop_kernels(b, h, w)
+        k = 12 * b
+        msg = " | ".join(
+            f"{name}: {dt*1e6:.0f}us ({k/dt/1e3:.1f}k iters/s)" if dt else f"{name}: n/a"
+            for name, dt in r.items())
+        _eprint(f"prop loop {b}x{h}x{w}: {msg}")
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)["value"]
+    else:
+        base = imgs_per_s
+        with open(baseline_path, "w") as f:
+            json.dump({"metric": "nyu_train_images_per_s_per_chip",
+                       "value": imgs_per_s}, f)
+
+    print(json.dumps({
+        "metric": "nyu_train_images_per_s_per_chip",
+        "value": round(imgs_per_s, 2),
+        "unit": "images/s",
+        "vs_baseline": round(imgs_per_s / base, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

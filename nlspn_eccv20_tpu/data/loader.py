@@ -86,8 +86,9 @@ class DataLoader:
             idx = int(order[pos])
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch, idx]))
-            return self.dataset[idx, rng] if _takes_rng(self.dataset) \
-                else self.dataset[idx]
+            if _takes_rng(self.dataset):
+                return self.dataset.__getitem__(idx, rng)
+            return self.dataset[idx]
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -1,0 +1,199 @@
+"""CLI entry point: train + validate + test.
+
+Reference flow (/root/reference/src/main.py:425-446): spawn train workers,
+then always test on the last checkpoint. Here a single multi-controller
+program does: train (epoch loop with val) -> test, or test-only with
+``--test_only --pretrain <dir>``.
+
+Usage:
+  python -m nlspn_eccv20_tpu.main --data_name NYU --dir_data ... \
+      --split_json data_json/nyu.json
+  python -m nlspn_eccv20_tpu.main --data_name Synthetic --test_pipeline \
+      --epochs 1 --batch_size 2 --patch_height 64 --patch_width 96
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from nlspn_eccv20_tpu.config import Config, parse_args
+from nlspn_eccv20_tpu.data import get_dataset
+from nlspn_eccv20_tpu.data.loader import DataLoader
+from nlspn_eccv20_tpu.parallel import make_mesh
+from nlspn_eccv20_tpu.parallel.mesh import (
+    is_main_process,
+    maybe_initialize_distributed,
+)
+from nlspn_eccv20_tpu.summary import get_summary
+from nlspn_eccv20_tpu.train import Engine, TrainState, load_pretrained_params
+from nlspn_eccv20_tpu.utils.checkpoint import CheckpointManager
+
+
+def _loader(cfg: Config, dataset, mode: str) -> DataLoader:
+    nproc = jax.process_count()
+    if mode == "train":
+        per_host = max(cfg.batch_size // nproc, 1)
+        return DataLoader(dataset, per_host, shuffle=True, drop_last=True,
+                          seed=cfg.seed, num_threads=cfg.num_threads,
+                          shard_index=jax.process_index(), num_shards=nproc)
+    return DataLoader(dataset, 1, shuffle=False, drop_last=False,
+                      seed=cfg.seed, num_threads=cfg.num_threads)
+
+
+def train(cfg: Config):
+    data_train = get_dataset(cfg, "train")
+    data_val = get_dataset(cfg, "val")
+    loader_train = _loader(cfg, data_train, "train")
+    loader_val = _loader(cfg, data_val, "val")
+
+    steps_per_epoch = len(loader_train)
+    engine = Engine(cfg, steps_per_epoch=steps_per_epoch)
+    state = engine.init_state((cfg.patch_height, cfg.patch_width))
+
+    ckpt = CheckpointManager(cfg)
+    start_epoch = 1
+    if cfg.resume:
+        latest = ckpt.latest_epoch()
+        if latest is not None:
+            restored = ckpt.restore(latest, template=jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state, "step": state.step}))
+            state = state.replace(**restored)
+            start_epoch = latest + 1
+            print(f"resumed from epoch {latest}")
+    elif cfg.pretrain:
+        restored = CheckpointManager(cfg, cfg.pretrain).restore()
+        state = load_pretrained_params(state, restored)
+        print(f"loaded pretrain from {cfg.pretrain}")
+
+    if is_main_process():
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        with open(os.path.join(cfg.save_dir, "args.json"), "w") as f:
+            f.write(cfg.to_json())
+        writer_train = get_summary(cfg, "train", engine.loss_fn.loss_name,
+                                   ["RMSE", "MAE", "iRMSE", "iMAE", "REL",
+                                    "D^1", "D^2", "D^3"])
+        writer_val = get_summary(cfg, "val", engine.loss_fn.loss_name,
+                                 writer_train.metric_name)
+
+    train_step = engine.train_step_fn()
+    eval_step = engine.eval_step_fn()
+
+    if cfg.profile:
+        os.makedirs(cfg.profile_dir, exist_ok=True)
+
+    for epoch in range(start_epoch, cfg.epochs + 1):
+        loader_train.set_epoch(epoch)
+        t0 = time.time()
+        num_img = 0
+        if is_main_process():
+            lr_now = float(engine.lr_schedule(int(jax.device_get(state.step))))
+            print(f"=== Epoch {epoch:4d}/{cfg.epochs} | lr {lr_now:.6f} | "
+                  f"{cfg.save_dir} ===")
+
+        for b, batch in enumerate(loader_train):
+            if cfg.test_pipeline and b == 1:
+                break
+            if cfg.profile and epoch == start_epoch and b == 1:
+                jax.profiler.start_trace(cfg.profile_dir)
+            sharded = engine.put_train_batch(batch)
+            state, aux = train_step(state, sharded)
+            num_img += batch["rgb"].shape[0] * jax.process_count()
+            if is_main_process():
+                writer_train.add(np.asarray(aux["loss_val"]),
+                                 np.asarray(aux["metric"]))
+            if cfg.profile and epoch == start_epoch and b == 3:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                print(f"profile trace written to {cfg.profile_dir}")
+
+        jax.block_until_ready(state.params)
+        dt = time.time() - t0
+        if is_main_process():
+            rate = num_img / max(dt, 1e-9)
+            print(f"train epoch {epoch}: {num_img} images in {dt:.1f}s "
+                  f"({rate:.1f} images/s)")
+            writer_train.update(epoch)
+            ckpt.save(epoch, jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state, "step": state.step}))
+
+        # ---- validation ----
+        last = (None, None)
+        for b, batch in enumerate(loader_val):
+            if cfg.test_pipeline and b == 1:
+                break
+            placed = engine.put_eval_batch(batch)
+            res = eval_step(state, placed)
+            if is_main_process():
+                writer_val.add(np.asarray(res["loss_val"]),
+                               np.asarray(res["metric"]))
+                last = (placed, res["output"])
+        if is_main_process():
+            writer_val.update(epoch, *last)
+
+    if is_main_process():
+        writer_train.close()
+        writer_val.close()
+    ckpt.close()
+    return state, engine
+
+
+def test(cfg: Config, state: TrainState = None, engine: Engine = None):
+    data_test = get_dataset(cfg, "test")
+    loader_test = _loader(cfg, data_test, "test")
+
+    if engine is None:
+        engine = Engine(cfg)
+    if state is None:
+        state = engine.init_state((cfg.patch_height, cfg.patch_width))
+        src = cfg.pretrain or cfg.save_dir
+        restored = CheckpointManager(cfg, src).restore()
+        state = load_pretrained_params(state, restored)
+        print(f"loaded checkpoint from {src}")
+
+    eval_step = engine.eval_step_fn()
+    writer = get_summary(cfg, "test", None,
+                         ["RMSE", "MAE", "iRMSE", "iMAE", "REL",
+                          "D^1", "D^2", "D^3"])
+    writer.setup_output_dir(0)
+
+    t_total, n = 0.0, 0
+    for b, batch in enumerate(loader_test):
+        if cfg.test_pipeline and b == 1:
+            break
+        placed = engine.put_eval_batch(batch)
+        t0 = time.time()
+        res = eval_step(state, placed)
+        jax.block_until_ready(res["metric"])
+        t1 = time.time()
+        if b > 0:  # skip compile step in timing (reference times everything)
+            t_total += t1 - t0
+            n += 1
+        writer.add(metric=np.asarray(res["metric"]))
+        if cfg.save_image or cfg.save_result_only:
+            writer.save(0, b, batch, jax.device_get(res["output"]))
+    summary = writer.update(0)
+    if n:
+        print(f"elapsed time : {t_total:.4f} sec, "
+              f"average processing time : {t_total / n:.4f} sec")
+    writer.close()
+    return summary
+
+
+def main(cfg: Config):
+    maybe_initialize_distributed(cfg)
+    np.random.seed(cfg.seed)
+    if not cfg.test_only:
+        state, engine = train(cfg)
+        test(cfg, state, engine)
+    else:
+        test(cfg)
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -43,8 +43,9 @@ from nlspn_eccv20_tpu.ops import (
     insert_center_offset,
     normalize_affinity,
     propagate_deformable,
-    propagate_local,
 )
+from nlspn_eccv20_tpu.ops.affinity import normalize_affinity_planar
+from nlspn_eccv20_tpu.ops.propagate import propagate_local_planar
 
 
 class S2D(nn.Module):
@@ -153,12 +154,17 @@ class EncodeAff(nn.Module):
 def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off):
     """One propagation step + input-preservation blend + optional clamp.
 
-    Reference loop body (nlspnmodel.py:350-361). Uses the fused Pallas kernel
-    for the fixed-local path when available.
+    Reference loop body (nlspnmodel.py:350-361), in PLANAR layout:
+    pred/conf/dep are (B, H, W), aff is (B, K2, H, W) — the trailing
+    singleton channel of an NHWC plane would be padded to 128 lanes on TPU,
+    so the loop never carries one. `off` stays NHWC (B, H, W, 2*K2) for the
+    (non-default) deformable path.
     """
     feat = pred * conf if conf is not None else pred
     if off is not None:
-        out = propagate_deformable(feat, off, aff, kernel=cfg.prop_kernel)
+        out = propagate_deformable(feat[..., None], off,
+                                   jnp.moveaxis(aff, 1, -1),
+                                   kernel=cfg.prop_kernel)[..., 0]
         if cfg.preserve_input:
             m = (dep > 0.0).astype(out.dtype)
             out = (1.0 - m) * out + m * dep
@@ -176,14 +182,16 @@ def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off):
         impl = "xla"
 
     if impl == "pallas":
-        from nlspn_eccv20_tpu.ops.pallas.local_prop import fused_prop_step
+        from nlspn_eccv20_tpu.ops.pallas.local_prop import (
+            fused_prop_step_planar,
+        )
 
-        return fused_prop_step(
+        return fused_prop_step_planar(
             pred, aff, conf=conf, dep=dep if cfg.preserve_input else None,
             kernel=cfg.prop_kernel, preserve=cfg.preserve_input,
             clip=cfg.always_clip)
 
-    out = propagate_local(feat, aff, kernel=cfg.prop_kernel)
+    out = propagate_local_planar(feat, aff, kernel=cfg.prop_kernel)
     if cfg.preserve_input:
         m = (dep > 0.0).astype(out.dtype)
         out = (1.0 - m) * out + m * dep
@@ -212,12 +220,14 @@ class PropStep(nn.Module):
 
         if cfg.use_GRU:
             dep_feat = EncodeDep(cfg, dtype=self.dtype, name="encode_dep")(
-                (pred / cfg.max_depth).astype(self.dtype or pred.dtype))
+                (pred / cfg.max_depth)[..., None].astype(
+                    self.dtype or pred.dtype))
             aff_feat = ConvGRU(cfg.GRU_hidden_dim, dtype=self.dtype,
                                name="GRU")(carry["aff_feat"], dep_feat)
             raw = DecodeAff(cfg, dtype=self.dtype, name="decode_aff")(aff_feat)
             raw = clip_to(raw, pred.shape[1], pred.shape[2]).astype(jnp.float32)
-            aff = normalize_affinity(raw, carry["gamma"], cfg.affinity)
+            aff = normalize_affinity_planar(jnp.moveaxis(raw, -1, 1),
+                                            carry["gamma"], cfg.affinity)
             carry = dict(carry, aff_feat=aff_feat, aff=aff)
 
         return carry, pred
@@ -306,43 +316,50 @@ class NLSPNModel(nn.Module):
         if cfg.affinity != "TGASS":
             # frozen for AS/ASS/TC (reference :95-102)
             gamma = jax.lax.stop_gradient(gamma)
-        aff = normalize_affinity(aff_raw, gamma, cfg.affinity)
+        # Planar loop state from here on (see _prop_and_blend layout note).
+        aff_p = normalize_affinity_planar(jnp.moveaxis(aff_raw, -1, 1),
+                                          gamma, cfg.affinity)
+        dep_p = dep[..., 0]
 
         # ---- Input preservation setup (reference :328-334) ----
-        conf = confidence
+        conf_p = confidence[..., 0] if confidence is not None else None
         if cfg.preserve_input:
-            mask_fix = (dep > 0.0).astype(jnp.float32)
-            mask_fix = jax.lax.stop_gradient(mask_fix)
-            if conf is not None:
-                conf = (1.0 - mask_fix) * conf + mask_fix
-            confidence = conf
+            mask_fix = jax.lax.stop_gradient((dep_p > 0.0).astype(jnp.float32))
+            if conf_p is not None:
+                conf_p = (1.0 - mask_fix) * conf_p + mask_fix
+                confidence = conf_p[..., None]
 
         # ---- Pre-loop blend/clip for k == 1 (reference :342-348) ----
-        new_pred = pred_init
+        new_pred = pred_init[..., 0]
         if cfg.preserve_input:
-            m = jax.lax.stop_gradient((dep > 0.0).astype(jnp.float32))
-            new_pred = (1.0 - m) * new_pred + m * dep
+            new_pred = (1.0 - mask_fix) * new_pred + mask_fix * dep_p
         if cfg.always_clip:
             new_pred = jnp.maximum(new_pred, 0.0)
 
         # ---- Propagation loop (reference :340-373) ----
-        carry = {"pred": new_pred, "aff": aff}
-        if conf is not None:
-            carry["conf"] = conf
+        carry = {"pred": new_pred, "aff": aff_p}
+        if conf_p is not None:
+            carry["conf"] = conf_p
         if cfg.preserve_input:
-            carry["dep"] = dep
+            carry["dep"] = dep_p
         if off is not None:
             carry["off"] = off
         if cfg.use_GRU:
             carry["aff_feat"] = EncodeAff(cfg, dtype=dt, name="encode_aff")(
-                aff.astype(dt), train)
+                jnp.moveaxis(aff_p, 1, -1).astype(dt), train)
             carry["gamma"] = gamma
 
         k = cfg.prop_time
         inter = []
         if k > 1:
+            # remat: the loop's per-step residuals (conv activations of the
+            # GRU refresh + stencil inputs) would otherwise be stacked K-1
+            # times by the scan for the backward pass — several GB at
+            # batch 12. Recomputing them is far cheaper than spilling
+            # (jax.checkpoint-under-scan, the standard TPU memory trade).
+            Body = nn.remat(PropStep, prevent_cse=False)
             Scanned = nn.scan(
-                PropStep,
+                Body,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 length=k - 1,
@@ -360,11 +377,11 @@ class NLSPNModel(nn.Module):
             new_pred = jnp.maximum(new_pred, 0.0)
 
         return {
-            "pred": new_pred,
+            "pred": new_pred[..., None],
             "pred_init": pred_init,
-            "pred_inter": inter,
+            "pred_inter": [p[..., None] for p in inter],
             "offset": off,
-            "aff": carry["aff"],
+            "aff": jnp.moveaxis(carry["aff"], 1, -1),
             "gamma": jax.lax.stop_gradient(gamma),
             "confidence": confidence,
         }

@@ -81,3 +81,47 @@ def normalize_affinity(
     if insert_center:
         aff = insert_center_affinity(aff)
     return aff
+
+
+# ---------------------------------------------------------------------------
+# Planar (B, N, H, W) variants — the layouts the propagation loop runs in.
+# On TPU the minor-most dim pads to 128 lanes, so channel-last (B, H, W, N)
+# planes with small N waste up to 128x memory/bandwidth inside scan carries;
+# the loop therefore keeps the neighbor axis at position 1.
+# ---------------------------------------------------------------------------
+
+
+def insert_center_affinity_planar(aff: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, H, W) -> (B, N + 1, H, W), center = 1 - sum at index N // 2."""
+    n = aff.shape[1]
+    idx_ref = n // 2
+    center = 1.0 - jnp.sum(aff, axis=1, keepdims=True)
+    return jnp.concatenate(
+        [aff[:, :idx_ref], center, aff[:, idx_ref:]], axis=1
+    )
+
+
+def normalize_affinity_planar(
+    aff: jnp.ndarray,
+    gamma: jnp.ndarray,
+    mode: str = "TGASS",
+    insert_center: bool = True,
+) -> jnp.ndarray:
+    """normalize_affinity for planar (B, N, H, W) affinities (axis=1)."""
+    if mode not in VALID_AFFINITY_MODES:
+        raise NotImplementedError(f"affinity mode {mode}")
+
+    if mode == "TC":
+        aff = jnp.tanh(aff) / gamma
+    elif mode == "TGASS":
+        aff = jnp.tanh(aff) / (gamma + 1e-8)
+
+    aff_abs_sum = jnp.sum(jnp.abs(aff), axis=1, keepdims=True) + 1e-4
+    if mode in ("ASS", "TGASS"):
+        aff_abs_sum = jnp.maximum(aff_abs_sum, 1.0)
+    if mode in ("AS", "ASS", "TGASS"):
+        aff = aff / aff_abs_sum
+
+    if insert_center:
+        aff = insert_center_affinity_planar(aff)
+    return aff

@@ -36,7 +36,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from nlspn_eccv20_tpu.ops.propagate import propagate_local
+from nlspn_eccv20_tpu.ops.propagate import propagate_local, propagate_local_planar
 
 try:  # Pallas import is safe everywhere; kernels need TPU or interpret mode.
     from jax.experimental import pallas as pl
@@ -127,11 +127,10 @@ def _stencil_pallas(pred, conf, aff, *, kernel, has_conf):
     )(padded, aff)
 
 
-def _pure_stencil(pred, conf, aff_k_last, *, kernel, has_conf):
+def _pure_stencil(pred, conf, aff_k, *, kernel, has_conf):
     """Pure-JAX mirror of the stencil for the VJP. Planar (B, H, W) layout."""
     p = pred * conf if has_conf else pred
-    return propagate_local(p[..., None], jnp.moveaxis(aff_k_last, 1, -1),
-                           kernel=kernel)[..., 0]
+    return propagate_local_planar(p, aff_k, kernel=kernel)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -272,25 +271,36 @@ def propagate_local_pallas(feat: jnp.ndarray, aff: jnp.ndarray,
     return out[..., None]
 
 
-def fused_prop_step(pred: jnp.ndarray, aff: jnp.ndarray,
-                    conf=None, dep=None, *, kernel: int = 3,
-                    preserve: bool = False, clip: bool = False) -> jnp.ndarray:
-    """One propagation-loop iteration: Pallas stencil + XLA-fused blend.
+def fused_prop_step_planar(pred: jnp.ndarray, aff: jnp.ndarray,
+                           conf=None, dep=None, *, kernel: int = 3,
+                           preserve: bool = False,
+                           clip: bool = False) -> jnp.ndarray:
+    """One propagation-loop iteration in planar layout.
 
-    pred: (B, H, W, 1) current prediction.
-    aff:  (B, H, W, K2) normalized affinities.
-    conf: (B, H, W, 1) or None — confidence weighting of the propagated plane.
-    dep:  (B, H, W, 1) or None — sparse input for the preservation blend.
-    Returns (B, H, W, 1).
+    pred/conf/dep: (B, H, W); aff: (B, K2, H, W). Returns (B, H, W).
+    Pallas stencil + XLA-fused blend/clamp.
     """
-    p = pred[..., 0]
     has_conf = conf is not None
-    c = conf[..., 0] if has_conf else p
-    aff_k_last = jnp.moveaxis(aff, -1, 1)
-    out = _stencil(p, c, aff_k_last, kernel, has_conf)[..., None]
+    c = conf if has_conf else pred
+    out = _stencil(pred, c, aff, kernel, has_conf)
     if preserve and dep is not None:
         m = (dep > 0.0).astype(out.dtype)
         out = (1.0 - m) * out + m * dep
     if clip:
         out = jnp.maximum(out, 0.0)
     return out
+
+
+def fused_prop_step(pred: jnp.ndarray, aff: jnp.ndarray,
+                    conf=None, dep=None, *, kernel: int = 3,
+                    preserve: bool = False, clip: bool = False) -> jnp.ndarray:
+    """NHWC wrapper over fused_prop_step_planar.
+
+    pred/conf/dep: (B, H, W, 1); aff: (B, H, W, K2). Returns (B, H, W, 1).
+    """
+    out = fused_prop_step_planar(
+        pred[..., 0], jnp.moveaxis(aff, -1, 1),
+        conf=conf[..., 0] if conf is not None else None,
+        dep=dep[..., 0] if dep is not None else None,
+        kernel=kernel, preserve=preserve, clip=clip)
+    return out[..., None]

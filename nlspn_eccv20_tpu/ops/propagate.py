@@ -37,28 +37,45 @@ def _neighbor_shifts(kernel: int):
     return [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
 
 
-def propagate_local(feat: jnp.ndarray, aff: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
-    """Fixed-local affinity-weighted propagation step.
+def propagate_local_planar(p: jnp.ndarray, aff: jnp.ndarray,
+                           kernel: int = 3) -> jnp.ndarray:
+    """Fixed-local affinity-weighted propagation step, planar layout.
 
-    feat: (B, H, W, 1) depth plane (already confidence-weighted by caller).
-    aff:  (B, H, W, K2) normalized affinities, K2 = kernel**2, row-major
-          neighbor order with the center at index K2 // 2.
-    Returns (B, H, W, 1).
+    TPU NOTE: depth planes are carried WITHOUT a trailing singleton channel.
+    On TPU the minor-most dimension is padded to the 128-lane width, so a
+    (B, H, W, 1) array is stored with a 128x memory blow-up; the propagation
+    loop (a scan with per-step residuals) must run on (B, H, W) planes and
+    (B, K2, H, W) affinities, whose minor dims tile cleanly.
+
+    p:   (B, H, W) depth plane (already confidence-weighted by caller).
+    aff: (B, K2, H, W) normalized affinities, K2 = kernel**2, row-major
+         neighbor order with the center at index K2 // 2.
+    Returns (B, H, W).
     """
     assert kernel % 2 == 1
     k2 = kernel * kernel
-    assert aff.shape[-1] == k2, f"aff has {aff.shape[-1]} ch, want {k2}"
-    b, h, w, c = feat.shape
-    assert c == 1
+    assert aff.shape[1] == k2, f"aff has {aff.shape[1]} ch, want {k2}"
+    b, h, w = p.shape
 
     r = kernel // 2
-    padded = jnp.pad(feat[..., 0], ((0, 0), (r, r), (r, r)), mode="edge")
-    out = jnp.zeros((b, h, w), dtype=feat.dtype)
+    padded = jnp.pad(p, ((0, 0), (r, r), (r, r)), mode="edge")
+    out = jnp.zeros((b, h, w), dtype=p.dtype)
     for idx, (dy, dx) in enumerate(_neighbor_shifts(kernel)):
         window = jax.lax.dynamic_slice(
             padded, (0, dy + r, dx + r), (b, h, w)
         )
-        out = out + window * aff[..., idx]
+        out = out + window * aff[:, idx]
+    return out
+
+
+def propagate_local(feat: jnp.ndarray, aff: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
+    """NHWC wrapper over propagate_local_planar.
+
+    feat: (B, H, W, 1); aff: (B, H, W, K2). Returns (B, H, W, 1).
+    """
+    assert feat.shape[-1] == 1
+    out = propagate_local_planar(feat[..., 0], jnp.moveaxis(aff, -1, 1),
+                                 kernel=kernel)
     return out[..., None]
 
 

@@ -1,0 +1,186 @@
+"""Experiment summaries: scalars, text logs, TensorBoard, image artifacts.
+
+Mirrors the reference summary stack (/root/reference/src/summary/):
+  * epoch-mean loss/metric scalars -> console + append-only
+    ``loss_{mode}.txt`` / ``metric_{mode}.txt`` (+ TensorBoard when
+    available) — BaseSummary/__init__.py:34-76, nlspnsummary.py:50-91.
+  * rgb | sparse-depth | pred | gt | confidence image grids with a plasma
+    colormap (nlspnsummary.py:93-155).
+  * test artifacts: KITTI submission PNGs ``uint16(pred * 256)`` when
+    ``save_result_only`` (nlspnsummary.py:165-182), else full visualization
+    dumps incl. per-iteration predictions and offset/aff/gamma ``.npy``
+    (:183-268).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+try:  # TensorBoard is optional
+    from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+    _TB = True
+except Exception:  # pragma: no cover
+    _TB = False
+
+
+def _unnormalize_rgb(rgb: np.ndarray) -> np.ndarray:
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    return np.clip(rgb * std + mean, 0, 1)
+
+
+def _colormap(x: np.ndarray, vmax: float, cmap: str = "plasma") -> np.ndarray:
+    """(H, W) -> (H, W, 3) uint8 via matplotlib colormap."""
+    import matplotlib.cm as cm
+
+    norm = np.clip(x / max(vmax, 1e-8), 0, 1)
+    return (cm.get_cmap(cmap)(norm)[..., :3] * 255).astype(np.uint8)
+
+
+class Summary:
+    def __init__(self, log_dir: str, mode: str, cfg, loss_name: Optional[List[str]],
+                 metric_name: List[str]):
+        self.mode = mode
+        self.cfg = cfg
+        self.loss_name = loss_name
+        self.metric_name = metric_name
+        self.log_dir = os.path.join(log_dir, mode)
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.path_output = None
+
+        self._loss: List[np.ndarray] = []
+        self._metric: List[np.ndarray] = []
+        self._tb = SummaryWriter(log_dir=self.log_dir) if _TB else None
+
+        if loss_name is not None:
+            self.f_loss = os.path.join(log_dir, f"loss_{mode}.txt")
+        else:
+            self.f_loss = None
+        self.f_metric = os.path.join(log_dir, f"metric_{mode}.txt")
+
+    # ---- accumulation (reference BaseSummary.add) ----
+    def add(self, loss: Optional[np.ndarray] = None,
+            metric: Optional[np.ndarray] = None):
+        if loss is not None:
+            self._loss.append(np.asarray(loss))
+        if metric is not None:
+            self._metric.append(np.asarray(metric))
+
+    # ---- epoch-end scalars (reference NLSPNSummary.update) ----
+    def update(self, epoch: int, sample=None, output=None) -> Dict[str, float]:
+        result = {}
+        if self._loss and self.loss_name:
+            mean = np.concatenate(self._loss, axis=0).mean(axis=0)
+            msg = " | ".join(f"{n}: {v:8.4f}" for n, v in zip(self.loss_name, mean))
+            print(f"{self.mode} epoch {epoch:04d} | Loss   | {msg}")
+            with open(self.f_loss, "a") as f:
+                f.write(f"{epoch:04d} | {msg}\n")
+            if self._tb:
+                for n, v in zip(self.loss_name, mean):
+                    self._tb.add_scalar(f"Loss/{n}", float(v), epoch)
+            result.update({f"loss/{n}": float(v) for n, v in zip(self.loss_name, mean)})
+        if self._metric:
+            mean = np.concatenate(self._metric, axis=0).mean(axis=0)
+            msg = " | ".join(f"{n}: {v:9.5f}" for n, v in zip(self.metric_name, mean))
+            print(f"{self.mode} epoch {epoch:04d} | Metric | {msg}")
+            with open(self.f_metric, "a") as f:
+                f.write(f"{epoch:04d} | {msg}\n")
+            if self._tb:
+                for n, v in zip(self.metric_name, mean):
+                    self._tb.add_scalar(f"Metric/{n}", float(v), epoch)
+            result.update({n: float(v) for n, v in zip(self.metric_name, mean)})
+
+        if self._tb and output is not None and "gamma" in output and output["gamma"] is not None:
+            self._tb.add_scalar("Etc/gamma", float(np.asarray(output["gamma"]).ravel()[0]), epoch)
+
+        if sample is not None and output is not None and self._tb:
+            self._tb_images(epoch, sample, output)
+
+        self._loss.clear()
+        self._metric.clear()
+        if self._tb:
+            self._tb.flush()
+        return result
+
+    def _tb_images(self, epoch: int, sample, output):
+        n = min(self.cfg.num_summary, np.asarray(sample["rgb"]).shape[0])
+        rows = []
+        rgb = _unnormalize_rgb(np.asarray(sample["rgb"])[:n])
+        dep = np.asarray(sample["dep"])[:n, ..., 0]
+        gt = np.asarray(sample["gt"])[:n, ..., 0]
+        pred = np.asarray(output["pred"])[:n, ..., 0]
+        vmax = self.cfg.max_depth
+        for i in range(n):
+            row = [
+                (rgb[i] * 255).astype(np.uint8),
+                _colormap(dep[i], vmax),
+                _colormap(pred[i], vmax),
+                _colormap(gt[i], vmax),
+            ]
+            if output.get("confidence") is not None:
+                conf = np.asarray(output["confidence"])[i, ..., 0]
+                row.append(_colormap(conf, 1.0, "gray"))
+            rows.append(np.concatenate(row, axis=1))
+        grid = np.concatenate(rows, axis=0)
+        self._tb.add_image(f"{self.mode}/images", grid, epoch, dataformats="HWC")
+
+    # ---- test artifacts (reference NLSPNSummary.save) ----
+    def setup_output_dir(self, epoch: int):
+        self.path_output = os.path.join(self.log_dir, f"epoch{epoch:04d}")
+        os.makedirs(self.path_output, exist_ok=True)
+
+    def save(self, epoch: int, idx: int, sample, output):
+        from PIL import Image
+
+        if self.path_output is None:
+            self.setup_output_dir(epoch)
+
+        if self.cfg.save_result_only:
+            # KITTI submission format: 16-bit PNG, depth * 256
+            # (reference nlspnsummary.py:172-182; README.md:302).
+            pred = np.asarray(output["pred"])[0, ..., 0]
+            img = (pred * 256.0).astype(np.uint16)
+            Image.fromarray(img).save(
+                os.path.join(self.path_output, f"{idx:010d}.png"))
+            return
+
+        vmax = self.cfg.max_depth
+        rgb = (_unnormalize_rgb(np.asarray(sample["rgb"])[0]) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(os.path.join(self.path_output, f"{idx:08d}_01_rgb.png"))
+        Image.fromarray(_colormap(np.asarray(sample["dep"])[0, ..., 0], vmax)).save(
+            os.path.join(self.path_output, f"{idx:08d}_02_dep.png"))
+        Image.fromarray(_colormap(np.asarray(output["pred"])[0, ..., 0], vmax)).save(
+            os.path.join(self.path_output, f"{idx:08d}_05_pred_final.png"))
+        Image.fromarray(_colormap(np.asarray(sample["gt"])[0, ..., 0], vmax)).save(
+            os.path.join(self.path_output, f"{idx:08d}_06_gt.png"))
+        if output.get("pred_init") is not None:
+            Image.fromarray(_colormap(np.asarray(output["pred_init"])[0, ..., 0], vmax)).save(
+                os.path.join(self.path_output, f"{idx:08d}_03_pred_init.png"))
+        if output.get("confidence") is not None:
+            Image.fromarray(_colormap(np.asarray(output["confidence"])[0, ..., 0], 1.0, "gray")).save(
+                os.path.join(self.path_output, f"{idx:08d}_04_confidence.png"))
+        if self.cfg.save_image and output.get("pred_inter") is not None:
+            for t, p in enumerate(output["pred_inter"]):
+                Image.fromarray(_colormap(np.asarray(p)[0, ..., 0], vmax)).save(
+                    os.path.join(self.path_output,
+                                 f"{idx:08d}_07_pred_prop_{t:02d}.png"))
+        # raw arrays for offline analysis (reference dumps offset/aff/gamma)
+        np.save(os.path.join(self.path_output, f"{idx:08d}_aff.npy"),
+                np.asarray(output["aff"]))
+        if output.get("offset") is not None:
+            np.save(os.path.join(self.path_output, f"{idx:08d}_offset.npy"),
+                    np.asarray(output["offset"]))
+        np.save(os.path.join(self.path_output, f"{idx:08d}_gamma.npy"),
+                np.asarray(output["gamma"]))
+
+    def close(self):
+        if self._tb:
+            self._tb.close()
+
+
+def get_summary(cfg, mode: str, loss_name, metric_name) -> Summary:
+    return Summary(cfg.save_dir, mode, cfg, loss_name, metric_name)

@@ -1,0 +1,159 @@
+"""Training / evaluation engine.
+
+TPU-native redesign of the reference trainer (/root/reference/src/main.py:
+80-446): instead of one process per GPU + Apex DDP + NCCL allreduce, ONE
+jitted global-batch train step over a ``Mesh(('data',))`` — parameters
+replicated, batch sharded on the data axis, gradient and BatchNorm
+reductions inserted by XLA (sync-BN semantics for free; reference needed
+apex convert_syncbn_model). Loss scaling follows the reference exactly:
+per-sample valid-pixel mean, summed over the batch, divided by the global
+batch size (main.py:226-229 + DDP gradient averaging).
+
+The LR warm-up ramp over epoch 1 and the piecewise epoch decay live inside
+the optax schedule (utils/optim.py), so the whole step stays jit-compiled.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from nlspn_eccv20_tpu.config import Config
+from nlspn_eccv20_tpu.losses import get_loss
+from nlspn_eccv20_tpu.metrics import evaluate as metric_evaluate
+from nlspn_eccv20_tpu.models import get_model
+from nlspn_eccv20_tpu.parallel import make_mesh, replicate, shard_batch
+from nlspn_eccv20_tpu.utils.optim import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class Engine:
+    """Owns model/loss/optimizer/mesh and the jitted step functions."""
+
+    def __init__(self, cfg: Config, steps_per_epoch: int = 1):
+        self.cfg = cfg
+        self.model = get_model(cfg)
+        self.loss_fn = get_loss(cfg)
+        n = cfg.num_data_shards
+        if n == 0:
+            # auto: the largest device count that divides the global batch
+            import jax as _jax
+
+            avail = len(_jax.devices())
+            n = max(k for k in range(1, avail + 1) if cfg.batch_size % k == 0)
+        self.mesh = make_mesh(n)
+        self.tx, self.lr_schedule = make_optimizer(cfg, max(steps_per_epoch, 1))
+        self._train_step = None
+        self._eval_step = None
+
+    # ---- state ----
+    def init_state(self, sample_shape: Tuple[int, int]) -> TrainState:
+        h, w = sample_shape
+        dummy = {
+            "rgb": jnp.zeros((1, h, w, 3), jnp.float32),
+            "dep": jnp.zeros((1, h, w, 1), jnp.float32),
+        }
+        variables = self.model.init(jax.random.PRNGKey(self.cfg.seed), dummy,
+                                    train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        return replicate(self.mesh, state)
+
+    # ---- steps ----
+    def train_step_fn(self):
+        if self._train_step is not None:
+            return self._train_step
+        cfg = self.cfg
+        model, loss_fn, tx = self.model, self.loss_fn, self.tx
+
+        def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+            gbatch = batch["rgb"].shape[0]
+
+            def loss_of(params):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch, train=True, mutable=["batch_stats"])
+                loss_sum, loss_val = loss_fn(batch, out)
+                return loss_sum / gbatch, (mut["batch_stats"], loss_val / gbatch, out)
+
+            (loss, (bs, loss_val, out)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      batch_stats=bs, opt_state=opt_state)
+            metric = metric_evaluate(batch, out)
+            aux = {"loss": loss, "loss_val": loss_val, "metric": metric,
+                   "lr": self.lr_schedule(state.step)}
+            return new_state, aux
+
+        self._train_step = jax.jit(step, donate_argnums=0)
+        return self._train_step
+
+    def eval_step_fn(self):
+        if self._eval_step is not None:
+            return self._eval_step
+        model, loss_fn = self.model, self.loss_fn
+
+        def step(state: TrainState, batch) -> Dict:
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch, train=False)
+            loss_sum, loss_val = loss_fn(batch, out)
+            gbatch = batch["rgb"].shape[0]
+            return {"loss_val": loss_val / gbatch,
+                    "metric": metric_evaluate(batch, out),
+                    "output": out}
+
+        self._eval_step = jax.jit(step)
+        return self._eval_step
+
+    # ---- data placement ----
+    def put_train_batch(self, batch: Dict[str, np.ndarray]):
+        return shard_batch(self.mesh, batch)
+
+    def put_eval_batch(self, batch: Dict[str, np.ndarray]):
+        # Eval batches are small (reference uses batch 1, main.py:342); they
+        # run replicated so one compilation serves every mesh size.
+        return replicate(self.mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+
+
+def load_pretrained_params(state: TrainState, ckpt_state: Dict[str, Any],
+                           strict: bool = False) -> TrainState:
+    """Merge checkpointed params/batch_stats into a fresh state.
+
+    strict=False mirrors the reference test-time load (main.py:355-364):
+    unexpected keys warn, missing keys raise.
+    """
+    import flax
+
+    cur = flax.traverse_util.flatten_dict(jax.device_get(state.params))
+    new = flax.traverse_util.flatten_dict(ckpt_state["params"])
+    missing = set(cur) - set(new)
+    unexpected = set(new) - set(cur)
+    if missing:
+        raise KeyError(f"missing params in checkpoint: {sorted(missing)[:5]}...")
+    if unexpected and strict:
+        raise KeyError(f"unexpected params: {sorted(unexpected)[:5]}...")
+    merged = {k: new[k] for k in cur}
+    params = flax.traverse_util.unflatten_dict(merged)
+    bs = ckpt_state.get("batch_stats", state.batch_stats)
+    return state.replace(params=params, batch_stats=bs)
