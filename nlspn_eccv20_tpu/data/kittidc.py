@@ -24,8 +24,20 @@ from nlspn_eccv20_tpu.data import transforms as T
 
 
 def read_depth_png(path: str) -> np.ndarray:
-    """KITTI 16-bit depth PNG -> float32 meters (uint16 / 256)."""
+    """KITTI 16-bit depth PNG -> float32 meters (uint16 / 256).
+
+    Uses the native C++ decoder (data/native.py) when built; falls back to
+    PIL. Both keep the reference's empty-map sanity check
+    (kittidc.py:77-79).
+    """
     assert os.path.exists(path), f"file not found: {path}"
+    from nlspn_eccv20_tpu.data import native
+
+    if native.available():
+        out = native.decode_depth_png(path)
+        assert (out.max() == 0) or (out.max() * 256.0 > 255), \
+            f"depth png looks 8-bit: path={path}"
+        return out
     img = np.array(Image.open(path))
     assert (np.max(img) == 0) or (np.max(img) > 255), \
         f"depth png looks 8-bit: max={np.max(img)}, path={path}"

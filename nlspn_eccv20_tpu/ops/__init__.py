@@ -13,6 +13,15 @@ from nlspn_eccv20_tpu.ops.affinity import (  # noqa: F401
 )
 from nlspn_eccv20_tpu.ops.propagate import (  # noqa: F401
     propagate_local,
+    propagate_local_planar,
     propagate_deformable,
     propagate_step,
+)
+from nlspn_eccv20_tpu.ops.deform_conv import (  # noqa: F401
+    deform_conv,
+    deformable_im2col,
+    modulated_deform_conv,
+)
+from nlspn_eccv20_tpu.ops.deform_psroi_pooling import (  # noqa: F401
+    deform_psroi_pooling,
 )
