@@ -5,8 +5,15 @@ Headline: NYU-config training throughput (images/s) on one chip — full
 fork-default NLSPN (resnet18, S2D, ConvGRU, 12 prop steps, TGASS,
 228x304, batch 12), forward+backward+optimizer under jit.
 
+Timing is DEVICE time extracted from JAX profiler traces
+(utils/device_time.py): on this TPU attachment ``block_until_ready``
+returns before execution finishes, so wall-clock numbers measure dispatch
+overhead, not compute (validated against an 8192^3 matmul reaching ~187
+TFLOP/s device-side while "finishing" in 0.05 ms wall). Off-TPU the wall
+clock is trusted.
+
 Also measured and printed to stderr as context: single-image inference
-latency, propagation-kernel microbenchmarks (XLA vs Pallas per-step vs
+latency and propagation-kernel microbenchmarks (XLA vs Pallas per-step vs
 Pallas whole-loop).
 
 vs_baseline: ratio against the first recorded run on this hardware
@@ -27,21 +34,28 @@ def _eprint(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(f, *args, warmup=2, iters=10):
+def measure(fn, *args, calls: int = 8, warmup: int = 2) -> float:
+    """Seconds per call: device time on TPU, wall clock elsewhere."""
     import jax
 
+    if jax.default_backend() == "tpu":
+        from nlspn_eccv20_tpu.utils.device_time import median_device_time_s
+
+        dt = median_device_time_s(fn, *args, calls=calls, warmup=warmup)
+        if dt is not None:
+            return dt
+        _eprint("  (no device events in trace; falling back to wall clock)")
     for _ in range(warmup):
-        out = f(*args)
+        out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
+    for _ in range(calls):
+        out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / calls
 
 
 def bench_train_step(cfg, b, h, w):
-    import jax
     import numpy as np
 
     from nlspn_eccv20_tpu.train import Engine
@@ -60,11 +74,11 @@ def bench_train_step(cfg, b, h, w):
 
     holder = {"state": state}
 
-    def run(placed):
+    def run():
         holder["state"], aux = step(holder["state"], placed)
         return aux["loss"]
 
-    dt = time_fn(run, placed, warmup=3, iters=10)
+    dt = measure(run, calls=8, warmup=3)
     return b / dt, dt
 
 
@@ -83,8 +97,7 @@ def bench_infer(cfg, h, w):
     }
     variables = model.init(jax.random.PRNGKey(0), sample, train=False)
     fwd = jax.jit(lambda v, s: model.apply(v, s, train=False)["pred"])
-    dt = time_fn(fwd, variables, sample, warmup=2, iters=20)
-    return dt
+    return measure(fwd, variables, sample, calls=8, warmup=2)
 
 
 def bench_prop_kernels(b, h, w, steps=12):
@@ -92,11 +105,11 @@ def bench_prop_kernels(b, h, w, steps=12):
     import jax.numpy as jnp
     import numpy as np
 
-    from nlspn_eccv20_tpu.ops.propagate import propagate_local
     from nlspn_eccv20_tpu.ops.pallas.local_prop import (
         fused_prop_step,
         propagate_loop_pallas,
     )
+    from nlspn_eccv20_tpu.ops.propagate import propagate_local
 
     rng = np.random.default_rng(0)
     pred = jnp.asarray(rng.standard_normal((b, h, w, 1)), jnp.float32)
@@ -120,22 +133,23 @@ def bench_prop_kernels(b, h, w, steps=12):
         return cur
 
     results = {}
-    results["xla"] = time_fn(jax.jit(xla_loop), pred, aff, conf, dep)
-    results["pallas_step"] = time_fn(jax.jit(pallas_step_loop), pred, aff, conf, dep)
+    results["xla"] = measure(jax.jit(xla_loop), pred, aff, conf, dep)
+    results["pallas_step"] = measure(jax.jit(pallas_step_loop), pred, aff,
+                                     conf, dep)
     try:
         f = jax.jit(lambda p, a, c, d: propagate_loop_pallas(
             p, a, conf=c, dep=d, steps=steps, preserve=True, pre_blend=True))
-        results["pallas_loop"] = time_fn(f, pred, aff, conf, dep)
-    except Exception as e:  # KITTI-size loop kernel exceeds VMEM currently
+        results["pallas_loop"] = measure(f, pred, aff, conf, dep)
+    except Exception as e:
         results["pallas_loop"] = None
         _eprint(f"  pallas_loop unavailable at {h}x{w}: {type(e).__name__}")
     return results
 
 
 def main():
-    from nlspn_eccv20_tpu.config import Config
-
     import jax
+
+    from nlspn_eccv20_tpu.config import Config
 
     _eprint(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
@@ -144,6 +158,10 @@ def main():
 
     imgs_per_s, step_dt = bench_train_step(cfg, 12, 228, 304)
     _eprint(f"NYU train step (b=12): {step_dt*1e3:.1f} ms -> {imgs_per_s:.1f} images/s")
+
+    cfg_bf16 = cfg.replace(precision="bf16")
+    imgs_bf16, dt_bf16 = bench_train_step(cfg_bf16, 12, 228, 304)
+    _eprint(f"NYU train step (b=12, bf16): {dt_bf16*1e3:.1f} ms -> {imgs_bf16:.1f} images/s")
 
     infer_dt = bench_infer(cfg, 228, 304)
     _eprint(f"NYU inference (b=1): {infer_dt*1e3:.2f} ms/image")

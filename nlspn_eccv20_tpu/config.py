@@ -98,6 +98,7 @@ class Config:
     conf_prop: bool = True
     offset: bool = False                     # non-local (deformable-gather) path
     prop_impl: str = "auto"                  # auto | xla | pallas — propagation backend
+    prop_loop: str = "unroll"                # unroll | scan — propagation loop codegen
 
     # ----- Profiling -----
     profile: bool = False
@@ -241,6 +242,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offset", action="store_true", default=False)
     p.add_argument("--prop_impl", type=str, default=d.prop_impl,
                    choices=("auto", "xla", "pallas"))
+    p.add_argument("--prop_loop", type=str, default=d.prop_loop,
+                   choices=("unroll", "scan"))
 
     # Profiling
     p.add_argument("--profile", action="store_true", default=False)
@@ -252,4 +255,28 @@ def parse_args(argv=None) -> Config:
     ns = build_parser().parse_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}
     cfg = Config(**{k: v for k, v in vars(ns).items() if k in known})
-    return cfg.finalize()
+    return check_args(cfg.finalize())
+
+
+def check_args(cfg: Config) -> Config:
+    """Resume semantics of the reference (src/main.py:57-77): with
+    ``--resume --pretrain <experiment dir>`` the whole saved config is
+    reloaded from that directory's ``args.json``, keeping only
+    test_only / pretrain / dir_data / resume from the command line, and
+    training continues in the same experiment directory."""
+    if not cfg.resume:
+        return cfg
+    if not cfg.pretrain:
+        raise ValueError("--resume requires --pretrain <experiment dir>")
+    import os
+
+    path = os.path.join(cfg.pretrain, "args.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"--resume: no args.json under {cfg.pretrain}")
+    with open(path) as f:
+        saved = Config.from_json(f.read())
+    return saved.replace(
+        test_only=cfg.test_only, pretrain=cfg.pretrain,
+        dir_data=cfg.dir_data, resume=True,
+        save_dir=cfg.pretrain,
+    ).finalize()

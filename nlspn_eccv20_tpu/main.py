@@ -30,6 +30,7 @@ from nlspn_eccv20_tpu.parallel.mesh import (
 )
 from nlspn_eccv20_tpu.summary import get_summary
 from nlspn_eccv20_tpu.train import Engine, TrainState, load_pretrained_params
+from nlspn_eccv20_tpu.utils.backup import backup_source_code
 from nlspn_eccv20_tpu.utils.checkpoint import CheckpointManager
 
 
@@ -74,6 +75,7 @@ def train(cfg: Config):
         os.makedirs(cfg.save_dir, exist_ok=True)
         with open(os.path.join(cfg.save_dir, "args.json"), "w") as f:
             f.write(cfg.to_json())
+        backup_source_code(os.path.join(cfg.save_dir, "code"))
         writer_train = get_summary(cfg, "train", engine.loss_fn.loss_name,
                                    ["RMSE", "MAE", "iRMSE", "iMAE", "REL",
                                     "D^1", "D^2", "D^3"])

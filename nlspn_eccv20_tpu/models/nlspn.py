@@ -8,9 +8,13 @@ iterations of confidence-weighted spatial propagation with a ConvGRU
 affinity refresh.
 
 TPU-first choices:
-  * The propagation loop runs under ``flax.linen.scan`` (GRU weights
-    broadcast across iterations) instead of a 12x-unrolled Python loop, so
-    the HLO stays compact and compile time flat in ``prop_time``.
+  * The propagation loop is UNROLLED by default (``prop_loop='unroll'``):
+    device-profiling showed `flax.linen.scan` stacks every iteration's
+    backward residuals along a leading axis, and XLA's layouts for those
+    stacked small-channel tensors pad up to 10.7x (OOM without remat;
+    slow with it). Unrolled, residuals are individual naturally-laid-out
+    buffers. ``prop_loop='scan'`` (compact HLO, remat) remains available
+    for fast-compile iteration; both share one param tree.
   * Each loop iteration's elementwise work (confidence weighting, input
     preservation blend, clamping) is fused into the propagation stencil via
     the Pallas kernel (`ops/pallas/local_prop.py`) when on TPU.
@@ -352,20 +356,33 @@ class NLSPNModel(nn.Module):
         k = cfg.prop_time
         inter = []
         if k > 1:
-            # remat: the loop's per-step residuals (conv activations of the
-            # GRU refresh + stencil inputs) would otherwise be stacked K-1
-            # times by the scan for the backward pass — several GB at
-            # batch 12. Recomputing them is far cheaper than spilling
-            # (jax.checkpoint-under-scan, the standard TPU memory trade).
-            Body = nn.remat(PropStep, prevent_cse=False)
-            Scanned = nn.scan(
-                Body,
-                variable_broadcast="params",
-                split_rngs={"params": False},
-                length=k - 1,
-            )
-            carry, ys = Scanned(cfg, dtype=dt, name="prop_step")(carry, None)
-            inter = [ys[i] for i in range(k - 1)]
+            if cfg.prop_loop == "scan":
+                # Compact HLO / fast compile, but the scan STACKS every
+                # iteration's backward residuals along a leading axis, and
+                # XLA's layouts for those stacked small-channel tensors pad
+                # catastrophically (measured 10.7x: f32[11,12,8,228,304]
+                # 279 MB unpadded -> 2.91 GB padded). Without remat that
+                # OOMs a 16 GB chip at NYU batch 12, so scan implies remat
+                # of the loop body (recompute instead of store).
+                Body = nn.remat(PropStep, prevent_cse=False)
+                Scanned = nn.scan(
+                    Body,
+                    variable_broadcast="params",
+                    split_rngs={"params": False},
+                    length=k - 1,
+                )
+                carry, ys = Scanned(cfg, dtype=dt, name="prop_step")(
+                    carry, None)
+                inter = [ys[i] for i in range(k - 1)]
+            else:
+                # Unrolled: one PropStep instance called K-1 times (params
+                # shared, tree identical to the scan path so checkpoints
+                # interchange). Residuals live as individual buffers with
+                # natural layouts — no stacking blowup, no remat recompute.
+                body = PropStep(cfg, dtype=dt, name="prop_step")
+                for _ in range(k - 1):
+                    carry, y = body(carry, None)
+                    inter.append(y)
 
         # Final iteration: propagate only, no GRU refresh (reference k == K).
         new_pred = _prop_and_blend(cfg, carry["pred"], carry["aff"],

@@ -158,92 +158,142 @@ _stencil.defvjp(_stencil_fwd, _stencil_bwd)
 # Whole-loop kernel (constant affinity, i.e. use_GRU=False)
 # ---------------------------------------------------------------------------
 
-def _loop_kernel(steps_ref, pred_ref, conf_ref, dep_ref, aff_ref, out_ref,
-                 padded, *, kernel: int, has_conf: bool, preserve: bool,
-                 clip: bool, pre_blend: bool):
-    """Runs the full propagation loop for one batch element in VMEM.
+def _loop_kernel(pred_ref, conf_ref, dep_ref, aff_ref, out_ref, *,
+                 kernel: int, steps: int, halo: int, n_wtiles: int,
+                 has_conf: bool, preserve: bool, clip: bool, pre_blend: bool):
+    """Full propagation loop for one (batch, W-tile) program, all in VMEM.
 
-    steps_ref: SMEM scalar — number of iterations K. All planes live in VMEM
-    for the whole loop; HBM sees each exactly once. The replicate padding is
-    rebuilt into a VMEM scratch each iteration (pure VMEM stores).
+    The tile buffer is the output tile plus a ``halo = steps * r`` column
+    margin on each side, read from globally halo-padded inputs. Each
+    iteration the stencil is applied to the whole buffer with on-the-fly
+    replicate padding (value ops — no scratch stores): values within i*r of
+    the buffer border are wrong after iteration i, but that contamination
+    never reaches the central output columns because halo >= steps*r. At
+    TRUE image edges (leftmost/rightmost tile; all rows) replicate padding
+    is the reference semantics, and the virtual halo columns are re-pinned
+    to the current edge column each iteration via an iota mask.
     """
-    h = out_ref.shape[1]
-    w = out_ref.shape[2]
+    t = pl.program_id(1)
+    hb = pred_ref.shape[2]           # image height (rows are not tiled)
+    wb = pred_ref.shape[3]           # tile width + 2*halo
     r = kernel // 2
     shifts = _neighbor_shifts(kernel)
 
-    d = dep_ref[0] if (preserve or pre_blend) else None
+    conf_t = conf_ref[0, 0] if has_conf else None
+    d = dep_ref[0, 0] if (preserve or pre_blend) else None
     m = (d > 0.0).astype(jnp.float32) if d is not None else None
 
-    cur = pred_ref[0]
+    is_left = t == 0
+    is_right = t == n_wtiles - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1)
+    virt_l = jnp.logical_and(is_left, col < halo)
+    virt_r = jnp.logical_and(is_right, col >= wb - halo)
+
+    def pin_edges(x):
+        # virtual columns (beyond the true image edge) replicate the current
+        # edge column, like the reference's per-step replicate pad.
+        x = jnp.where(virt_l, x[:, halo:halo + 1], x)
+        return jnp.where(virt_r, x[:, wb - halo - 1:wb - halo], x)
+
+    cur = pred_ref[0, 0]
     if pre_blend:  # reference :342-348 (k == 1 pre-step blend/clip)
         cur = (1.0 - m) * cur + m * d
         if clip:
             cur = jnp.maximum(cur, 0.0)
-
-    def write_padded(p):
-        padded[r:h + r, r:w + r] = p
-        for e in range(r):
-            padded[e:e + 1, r:w + r] = p[0:1, :]
-            padded[h + r + e:h + r + e + 1, r:w + r] = p[h - 1:h, :]
-        for e in range(r):
-            padded[:, e:e + 1] = padded[:, r:r + 1]
-            padded[:, w + r + e:w + r + e + 1] = padded[:, w + r - 1:w + r]
+    cur = pin_edges(cur)
 
     def body(_, cur):
-        p = cur * conf_ref[0] if has_conf else cur
-        write_padded(p)
-        acc = jnp.zeros((h, w), dtype=jnp.float32)
+        p = cur * conf_t if has_conf else cur
+        # replicate pad by r with value ops; horizontal border columns are
+        # halo/contaminated region, so their padding values are irrelevant
+        # for interior tiles and exactly right for edge tiles.
+        p = jnp.concatenate([p[:1]] * r + [p] + [p[-1:]] * r, axis=0)
+        p = jnp.concatenate([p[:, :1]] * r + [p] + [p[:, -1:]] * r, axis=1)
+        acc = jnp.zeros((hb, wb), dtype=jnp.float32)
         for idx, (dy, dx) in enumerate(shifts):
-            # shifts are centered (-r..r); window starts at (dy + r, dx + r).
-            acc = acc + aff_ref[0, idx] * padded[dy + r:dy + r + h,
-                                                 dx + r:dx + r + w]
+            acc = acc + aff_ref[0, 0, idx] * p[dy + r:dy + r + hb,
+                                               dx + r:dx + r + wb]
         if preserve:
             acc = (1.0 - m) * acc + m * d
         if clip:
             acc = jnp.maximum(acc, 0.0)
-        return acc
+        return pin_edges(acc)
 
-    out_ref[0] = jax.lax.fori_loop(0, steps_ref[0], body, cur)
+    final = jax.lax.fori_loop(0, steps, body, cur, unroll=min(steps, 4))
+    out_ref[0] = final[:, halo:wb - halo]
+
+
+def _pick_wtiles(h: int, w: int, k2: int, halo: int,
+                 vmem_budget: int = 8 * 2**20) -> int:
+    """Smallest W-tile count whose buffers fit the VMEM budget."""
+    for n in range(1, w + 1):
+        if w % n != 0:
+            continue
+        wb = w // n + 2 * halo
+        # carried planes: pred/conf/dep/out + k2 affinity + ~3 temporaries
+        if (k2 + 7) * h * wb * 4 <= vmem_budget:
+            return n
+    return w
 
 
 def propagate_loop_pallas(pred, aff, conf=None, dep=None, *, steps: int,
                           kernel: int = 3, preserve: bool = False,
-                          clip: bool = False, pre_blend: bool = False):
+                          clip: bool = False, pre_blend: bool = False,
+                          vmem_budget: int = 8 * 2**20):
     """Full K-step propagation loop with constant affinity, fused in VMEM.
 
     pred/conf/dep: (B, H, W, 1); aff: (B, H, W, K2). Returns (B, H, W, 1)
-    final prediction. Forward-only (inference/benchmark path); training with
-    use_GRU=False still uses per-step kernels under scan for pred_inter and
-    the VJP.
+    final prediction. HBM sees each plane once (plus the halo overlap) for
+    the WHOLE loop instead of once per step. Forward-only
+    (inference/benchmark path); training with use_GRU=False still uses
+    per-step kernels under scan for pred_inter and the VJP.
     """
     b, h, w, _ = pred.shape
     k2 = kernel * kernel
     r = kernel // 2
+    halo = steps * r
     has_conf = conf is not None
-    p = pred[..., 0]
-    c = conf[..., 0] if has_conf else p
-    d = dep[..., 0] if dep is not None else p
-    aff_k = jnp.moveaxis(aff, -1, 1)
 
-    # index_map receives the scalar-prefetch ref as an extra trailing arg.
-    plane_spec = pl.BlockSpec((1, h, w), lambda i, s: (i, 0, 0),
+    n_wtiles = _pick_wtiles(h, w, k2, halo, vmem_budget)
+    tw = w // n_wtiles
+    wb = tw + 2 * halo
+
+    pad = ((0, 0), (0, 0), (halo, halo))
+    p = jnp.pad(pred[..., 0], pad, mode="edge")
+    c = jnp.pad(conf[..., 0], pad, mode="edge") if has_conf else p
+    d = jnp.pad(dep[..., 0], pad) if dep is not None else p  # zeros: no
+    # preservation beyond the image edge (virtual cols are re-pinned anyway)
+    aff_k = jnp.pad(jnp.moveaxis(aff, -1, 1),
+                    ((0, 0), (0, 0), (0, 0), (halo, halo)), mode="edge")
+
+    if n_wtiles > 1:
+        # Overlapping windows have stride tw != block width wb, which blocked
+        # BlockSpecs can't express; materialize the tiles with one XLA gather
+        # (a few halo columns of extra HBM traffic, amortized over K steps).
+        def tiles(x):
+            return jnp.stack([x[..., t * tw:t * tw + wb]
+                              for t in range(n_wtiles)], axis=1)
+
+        p, c, d, aff_k = tiles(p), tiles(c), tiles(d), tiles(aff_k)
+    else:
+        p, c, d, aff_k = (x[:, None] for x in (p, c, d, aff_k))
+
+    kern = functools.partial(
+        _loop_kernel, kernel=kernel, steps=steps, halo=halo,
+        n_wtiles=n_wtiles, has_conf=has_conf, preserve=preserve, clip=clip,
+        pre_blend=pre_blend)
+
+    plane_spec = pl.BlockSpec((1, 1, h, wb), lambda i, t: (i, t, 0, 0),
                               memory_space=pltpu.VMEM)
-    aff_spec = pl.BlockSpec((1, k2, h, w), lambda i, s: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    kern = functools.partial(_loop_kernel, kernel=kernel, has_conf=has_conf,
-                             preserve=preserve, clip=clip, pre_blend=pre_blend)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[plane_spec, plane_spec, plane_spec, aff_spec],
-        out_specs=plane_spec,
-        scratch_shapes=[pltpu.VMEM((h + 2 * r, w + 2 * r), jnp.float32)],
-    )
     bytes_plane = h * w * 4
     out = pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
+        grid=(b, n_wtiles),
+        in_specs=[plane_spec, plane_spec, plane_spec,
+                  pl.BlockSpec((1, 1, k2, h, wb), lambda i, t: (i, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, tw), lambda i, t: (i, 0, t),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), pred.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * steps * k2 * h * w,
@@ -251,7 +301,7 @@ def propagate_loop_pallas(pred, aff, conf=None, dep=None, *, steps: int,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(jnp.array([steps], jnp.int32), p, c, d, aff_k)
+    )(p, c, d, aff_k)
     return out[..., None]
 
 

@@ -56,6 +56,27 @@ class TestCheckpoint:
         cfg2 = CheckpointManager.load_config(cfg.save_dir)
         assert cfg2.max_depth == 42.0
 
+    def test_check_args_resume_reloads_saved_config(self, tmp_path):
+        # reference main.py:57-77: --resume replaces the whole args namespace
+        # from the checkpoint dir, keeping test_only/pretrain/dir_data/resume
+        from nlspn_eccv20_tpu.config import check_args
+
+        cfg = _cfg(tmp_path, max_depth=42.0, lr=0.005)
+        CheckpointManager(cfg).save(1, {"x": np.zeros(3)})
+
+        cli = Config(resume=True, pretrain=cfg.save_dir, dir_data="/elsewhere",
+                     max_depth=10.0, lr=0.001).finalize()
+        merged = check_args(cli)
+        assert merged.max_depth == 42.0 and merged.lr == 0.005  # from saved
+        assert merged.dir_data == "/elsewhere" and merged.resume  # from CLI
+        assert merged.save_dir == cfg.save_dir  # continue in same experiment
+
+    def test_check_args_resume_requires_pretrain(self):
+        from nlspn_eccv20_tpu.config import check_args
+
+        with pytest.raises(ValueError):
+            check_args(Config(resume=True).finalize())
+
 
 class TestTorchImport:
     def test_resnet18_roundtrip(self, tmp_path):

@@ -284,3 +284,29 @@ class TestPallasLoopProp:
             o = propagate_local(jnp.asarray(cur * np.asarray(conf)), aff)
             cur = (1 - m) * np.asarray(o) + m * np.asarray(dep)
         np.testing.assert_allclose(out, cur, rtol=1e-4, atol=1e-5)
+
+    def test_loop_width_tiling_matches_single_tile(self, rng):
+        # KITTI-shaped planes exceed VMEM in one block; a tiny budget forces
+        # multiple W-tiles, whose halo/contamination logic must be invisible.
+        from nlspn_eccv20_tpu.ops.pallas.local_prop import (
+            _pick_wtiles,
+            propagate_loop_pallas,
+        )
+
+        steps, k2 = 4, 9
+        b, h, w = 1, 8, 48
+        budget = (k2 + 7) * h * (w // 4 + 2 * steps) * 4
+        assert _pick_wtiles(h, w, k2, steps, budget) > 1
+
+        pred = jnp.asarray(rng.normal(size=(b, h, w, 1)), jnp.float32)
+        conf = jnp.asarray(rng.uniform(size=(b, h, w, 1)), jnp.float32)
+        dep = jnp.asarray(
+            (rng.uniform(size=(b, h, w, 1)) > 0.8) * rng.uniform(size=(b, h, w, 1)),
+            jnp.float32)
+        aff = jnp.asarray(rng.normal(size=(b, h, w, 9)) * 0.2, jnp.float32)
+
+        kw = dict(conf=conf, dep=dep, steps=steps, preserve=True, clip=True,
+                  pre_blend=True)
+        single = propagate_loop_pallas(pred, aff, **kw)
+        tiled = propagate_loop_pallas(pred, aff, vmem_budget=budget, **kw)
+        np.testing.assert_allclose(tiled, single, rtol=1e-5, atol=1e-6)
