@@ -36,11 +36,14 @@ from flax import linen as nn
 
 from nlspn_eccv20_tpu.config import Config
 from nlspn_eccv20_tpu.models.common import (
+    BatchNorm,
     Conv,
     ConvBNReLU,
     ConvTBNReLU,
     clip_to,
     concat_trim,
+    torch_bias_init,
+    torch_conv_kernel_init,
 )
 from nlspn_eccv20_tpu.models.resnet import make_encoder_stages
 from nlspn_eccv20_tpu.ops import (
@@ -49,6 +52,7 @@ from nlspn_eccv20_tpu.ops import (
     propagate_deformable,
 )
 from nlspn_eccv20_tpu.ops.affinity import normalize_affinity_planar
+from nlspn_eccv20_tpu.ops.planar import planar_channel_mlp
 from nlspn_eccv20_tpu.ops.propagate import propagate_local_planar
 
 
@@ -58,6 +62,16 @@ class S2D(nn.Module):
     Min-pool pyramid (k = 3,5,7,9; zeros flagged with a -999 sentinel so they
     never win the min) + max-pool pyramid (k = 11,13), two 1x1 convs, concat
     with the raw sparse depth, 3x3 conv to 32 channels. All BN-free.
+
+    TPU layout note: the pyramid/1x1-conv stage runs on PLANAR (B, H, W)
+    planes with the 1x1 convs expressed as scalar-weighted plane sums. In
+    NHWC these 6/8/16-channel full-res tensors each pad to 128 lanes
+    (425 MB apiece at NYU batch 12 instead of ~25 MB) and device profiling
+    showed S2D alone costing ~16 ms/step from that padding. Only the final
+    17-channel tensor is materialized NHWC, for the 3x3 MXU conv. Pooling
+    stays in f32 regardless of compute dtype: the +-999 zero-sentinel is not
+    representable in bf16 (rounds to 1000), which would break the unmask
+    comparison.
     """
 
     dtype: Optional[Any] = None
@@ -65,7 +79,7 @@ class S2D(nn.Module):
     @nn.compact
     def __call__(self, dep, train: bool = False):
         pools = []
-        d = dep[..., 0]
+        d = dep[..., 0].astype(jnp.float32)  # (B, H, W) planar
         for s in (3, 5, 7, 9):
             p = s // 2
             neg = jnp.where(d == 0.0, -999.0, -d)
@@ -80,13 +94,25 @@ class S2D(nn.Module):
                 d, -jnp.inf, jax.lax.max, (1, s, s), (1, 1, 1),
                 ((0, 0), (p, p), (p, p)))
             pools.append(z)
-        pyr = jnp.stack(pools, axis=-1)  # (B, H, W, 6)
 
-        feat = ConvBNReLU(8, kernel=1, bn=False, dtype=self.dtype,
-                          name="pool_conv0")(pyr, train)
-        feat = ConvBNReLU(16, kernel=1, bn=False, dtype=self.dtype,
-                          name="pool_conv1")(feat, train)
-        feat = jnp.concatenate([feat, dep.astype(feat.dtype)], axis=-1)
+        # 1x1 convs as scalar-weighted plane sums (exact same math as the
+        # reference Conv2d(k=1) + bias + relu; param shapes unchanged).
+        w0 = self.param("pool_conv0_kernel", torch_conv_kernel_init,
+                        (1, 1, 6, 8), jnp.float32)
+        b0 = self.param("pool_conv0_bias", torch_bias_init(6), (8,),
+                        jnp.float32)
+        w1 = self.param("pool_conv1_kernel", torch_conv_kernel_init,
+                        (1, 1, 8, 16), jnp.float32)
+        b1 = self.param("pool_conv1_bias", torch_bias_init(8), (16,),
+                        jnp.float32)
+        dt = self.dtype or dep.dtype
+        p6 = jnp.stack(pools, axis=1).astype(dt)  # (B, 6, H, W)
+        f16 = planar_channel_mlp(p6, w0[0, 0].astype(dt), b0.astype(dt),
+                                 w1[0, 0].astype(dt), b1.astype(dt))
+
+        feat = jnp.concatenate(
+            [jnp.moveaxis(f16, 1, -1), d.astype(dt)[..., None]],
+            axis=-1)  # (B, H, W, 17) once
         return ConvBNReLU(32, kernel=3, bn=False, dtype=self.dtype,
                           name="conv")(feat, train)
 
@@ -153,6 +179,82 @@ class EncodeAff(nn.Module):
         x = ConvBNReLU(c, 3, 2, bn=False, relu=False, dtype=self.dtype,
                        name="conv2")(x, train)
         return jnp.tanh(x)
+
+
+class Heads(nn.Module):
+    """All prediction heads, fused into two convolutions (exact same math).
+
+    The reference runs 2-3 independent two-stage heads (initial depth,
+    offset+affinity, confidence; nlspnmodel.py:67-86,296-315). Every stage-1
+    conv reads the SAME 128-ch full-res input, and every stage-2 conv reads
+    concat(its own 64-ch feature, fe1) — at NYU batch 12 that is ~5 GB/step
+    of redundant HBM traffic on a bandwidth-bound step. Fused here:
+
+      * stage 1: ONE conv 128 -> 64*n_heads, ONE BatchNorm (BN is
+        per-channel, so one BN over the concatenated channels is identical
+        to n separate BNs), one relu;
+      * stage 2: ONE conv over concat(stage1_out, fe1) with a
+        block-structured kernel — each head's outputs contract only with its
+        own 64-ch block plus the shared fe1 block, zeros elsewhere, so the
+        result equals the per-head convs exactly.
+
+    Per-head stage-2 kernels/biases are stored with the reference's shapes
+    (3, 3, 128, n_out) and init (fan_in = 128*3*3, zero-init for the
+    offset/affinity head) and assembled into the fused kernel at apply time:
+    a few KB of weight shuffling per step against ~GBs less activation
+    traffic.
+    """
+
+    cfg: Config
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, fd2fe2, fe1, train: bool = False):
+        cfg = self.cfg
+        n_off_aff = 3 * cfg.num_neighbors if cfg.offset else cfg.num_neighbors
+        heads = [("id", 1), ("off_aff", n_off_aff)]
+        if cfg.conf_prop:
+            heads.append(("cf", 1))
+        width = 64  # per-head stage-1 channels (reference :67,72,78)
+
+        y = Conv(width * len(heads), 3, 1, use_bias=False, dtype=self.dtype,
+                 name="dec1_conv")(fd2fe2)
+        y = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="dec1_bn")(y)
+        y = nn.relu(y)
+
+        total = sum(n for _, n in heads)
+        in_ch = width * len(heads) + fe1.shape[-1]
+        kernel = jnp.zeros((3, 3, in_ch, total), jnp.float32)
+        biases = []
+        c0 = 0
+        for i, (name, n_out) in enumerate(heads):
+            zero = cfg.zero_init_aff and name == "off_aff"
+            kinit = nn.initializers.zeros if zero else torch_conv_kernel_init
+            binit = nn.initializers.zeros if zero else torch_bias_init(
+                (width + fe1.shape[-1]) * 9)
+            k = self.param(f"{name}_dec0_kernel", kinit,
+                           (3, 3, width + fe1.shape[-1], n_out), jnp.float32)
+            b = self.param(f"{name}_dec0_bias", binit, (n_out,), jnp.float32)
+            kernel = kernel.at[:, :, i * width:(i + 1) * width,
+                               c0:c0 + n_out].set(k[:, :, :width])
+            kernel = kernel.at[:, :, width * len(heads):,
+                               c0:c0 + n_out].set(k[:, :, width:])
+            biases.append(b)
+            c0 += n_out
+
+        dt = self.dtype or y.dtype
+        x2 = jnp.concatenate([y, fe1.astype(y.dtype)], axis=-1)
+        y2 = jax.lax.conv_general_dilated(
+            x2.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.concatenate(biases).astype(dt)
+
+        pred_init = nn.relu(y2[..., :1]).astype(jnp.float32)
+        off_aff = y2[..., 1:1 + n_off_aff].astype(jnp.float32)
+        confidence = (nn.sigmoid(y2[..., 1 + n_off_aff:]).astype(jnp.float32)
+                      if cfg.conf_prop else None)
+        return pred_init, off_aff, confidence
 
 
 def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off):
@@ -277,20 +379,9 @@ class NLSPNModel(nn.Module):
         fd2 = ConvTBNReLU(64, 3, 2, 1, 1, dtype=dt, name="dec2")(
             concat_trim(fd3, fe3), train)
 
-        # ---- Heads (reference :296-315) ----
-        id_fd1 = ConvBNReLU(64, 3, 1, dtype=dt, name="id_dec1")(
-            concat_trim(fd2, fe2), train)
-        pred_init = ConvBNReLU(1, 3, 1, bn=False, relu=True, dtype=dt,
-                               name="id_dec0")(concat_trim(id_fd1, fe1), train)
-        pred_init = pred_init.astype(jnp.float32)
-
-        off_aff_fd1 = ConvBNReLU(64, 3, 1, dtype=dt, name="off_aff_dec1")(
-            concat_trim(fd2, fe2), train)
-        n_out = 3 * nn_ if cfg.offset else nn_
-        off_aff = ConvBNReLU(n_out, 3, 1, bn=False, relu=False,
-                             zero_init=cfg.zero_init_aff, dtype=dt,
-                             name="off_aff_dec0")(
-            concat_trim(off_aff_fd1, fe1), train).astype(jnp.float32)
+        # ---- Heads (reference :296-315), fused: see Heads docstring ----
+        pred_init, off_aff, confidence = Heads(cfg, dtype=dt, name="heads")(
+            concat_trim(fd2, fe2), fe1, train)
 
         if cfg.offset:
             off_raw = off_aff[..., :2 * nn_]
@@ -299,15 +390,6 @@ class NLSPNModel(nn.Module):
         else:
             off = None
             aff_raw = off_aff
-
-        if cfg.conf_prop:
-            cf_fd1 = ConvBNReLU(64, 3, 1, dtype=dt, name="cf_dec1")(
-                concat_trim(fd2, fe2), train)
-            confidence = nn.sigmoid(
-                Conv(1, 3, 1, dtype=dt, name="cf_dec0")(
-                    concat_trim(cf_fd1, fe1))).astype(jnp.float32)
-        else:
-            confidence = None
 
         # ---- Affinity normalization (reference :179-201,323-325) ----
         gamma_init = {
