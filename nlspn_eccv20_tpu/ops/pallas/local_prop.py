@@ -32,6 +32,7 @@ modulated_deform_im2col_cuda.cuh:249).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -219,27 +220,39 @@ def _loop_kernel(pred_ref, conf_ref, dep_ref, aff_ref, out_ref, *,
             acc = jnp.maximum(acc, 0.0)
         return pin_edges(acc)
 
-    final = jax.lax.fori_loop(0, steps, body, cur, unroll=min(steps, 4))
+    # Mosaic's for-loop lowering supports only unroll=1 or full unroll.
+    final = jax.lax.fori_loop(0, steps, body, cur,
+                              unroll=steps if steps <= 16 else 1)
     out_ref[0] = final[:, halo:wb - halo]
 
 
 def _pick_wtiles(h: int, w: int, k2: int, halo: int,
-                 vmem_budget: int = 8 * 2**20) -> int:
-    """Smallest W-tile count whose buffers fit the VMEM budget."""
+                 vmem_budget: int = 48 * 2**20) -> Optional[int]:
+    """Smallest W-tile count whose buffers fit the VMEM budget.
+
+    Tiles beyond n=1 must have 128-aligned width (Mosaic requires block
+    dims divisible by (8, 128) unless equal to the array dims). Returns
+    None when no admissible tiling fits — caller falls back to the
+    per-step path. The default budget leaves headroom below the ~128 MB
+    v5e VMEM for the loop body's temporaries.
+    """
     for n in range(1, w + 1):
         if w % n != 0:
             continue
-        wb = w // n + 2 * halo
+        tw = w // n
+        if n > 1 and tw % 128 != 0:
+            continue
+        wb = tw + 2 * halo
         # carried planes: pred/conf/dep/out + k2 affinity + ~3 temporaries
         if (k2 + 7) * h * wb * 4 <= vmem_budget:
             return n
-    return w
+    return None
 
 
 def propagate_loop_pallas(pred, aff, conf=None, dep=None, *, steps: int,
                           kernel: int = 3, preserve: bool = False,
                           clip: bool = False, pre_blend: bool = False,
-                          vmem_budget: int = 8 * 2**20):
+                          vmem_budget: int = 48 * 2**20):
     """Full K-step propagation loop with constant affinity, fused in VMEM.
 
     pred/conf/dep: (B, H, W, 1); aff: (B, H, W, K2). Returns (B, H, W, 1)
@@ -255,6 +268,9 @@ def propagate_loop_pallas(pred, aff, conf=None, dep=None, *, steps: int,
     has_conf = conf is not None
 
     n_wtiles = _pick_wtiles(h, w, k2, halo, vmem_budget)
+    if n_wtiles is None:
+        raise ValueError(
+            f"no VMEM-admissible W-tiling for ({h}, {w}) with halo {halo}")
     tw = w // n_wtiles
     wb = tw + 2 * halo
 

@@ -294,9 +294,11 @@ class TestPallasLoopProp:
         )
 
         steps, k2 = 4, 9
-        b, h, w = 1, 8, 48
+        # tiles beyond n=1 must be 128-aligned (Mosaic block constraint)
+        b, h, w = 1, 8, 512
         budget = (k2 + 7) * h * (w // 4 + 2 * steps) * 4
-        assert _pick_wtiles(h, w, k2, steps, budget) > 1
+        n = _pick_wtiles(h, w, k2, steps, budget)
+        assert n is not None and n > 1 and (w // n) % 128 == 0
 
         pred = jnp.asarray(rng.normal(size=(b, h, w, 1)), jnp.float32)
         conf = jnp.asarray(rng.uniform(size=(b, h, w, 1)), jnp.float32)
