@@ -25,3 +25,11 @@ from nlspn_eccv20_tpu.ops.deform_conv import (  # noqa: F401
 from nlspn_eccv20_tpu.ops.deform_psroi_pooling import (  # noqa: F401
     deform_psroi_pooling,
 )
+from nlspn_eccv20_tpu.ops.modules import (  # noqa: F401
+    DeformConv,
+    DeformConvPack,
+    DeformRoIPooling,
+    DeformRoIPoolingPack,
+    ModulatedDeformConv,
+    ModulatedDeformConvPack,
+)
