@@ -159,21 +159,9 @@ def main():
     imgs_per_s, step_dt = bench_train_step(cfg, 12, 228, 304)
     _eprint(f"NYU train step (b=12): {step_dt*1e3:.1f} ms -> {imgs_per_s:.1f} images/s")
 
-    cfg_bf16 = cfg.replace(precision="bf16")
-    imgs_bf16, dt_bf16 = bench_train_step(cfg_bf16, 12, 228, 304)
-    _eprint(f"NYU train step (b=12, bf16): {dt_bf16*1e3:.1f} ms -> {imgs_bf16:.1f} images/s")
-
-    infer_dt = bench_infer(cfg, 228, 304)
-    _eprint(f"NYU inference (b=1): {infer_dt*1e3:.2f} ms/image")
-
-    for (b, h, w) in [(12, 228, 304), (4, 240, 1216)]:
-        r = bench_prop_kernels(b, h, w)
-        k = 12 * b
-        msg = " | ".join(
-            f"{name}: {dt*1e6:.0f}us ({k/dt/1e3:.1f}k iters/s)" if dt else f"{name}: n/a"
-            for name, dt in r.items())
-        _eprint(f"prop loop {b}x{h}x{w}: {msg}")
-
+    # Print the headline JSON line FIRST: the context measurements below are
+    # best-effort and must not cost the round its benchmark record if the
+    # driver's time budget runs out mid-microbench.
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
     if os.path.exists(baseline_path):
@@ -191,6 +179,27 @@ def main():
         "unit": "images/s",
         "vs_baseline": round(imgs_per_s / base, 3),
     }), flush=True)
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        return
+
+    try:
+        cfg_bf16 = cfg.replace(precision="bf16")
+        imgs_bf16, dt_bf16 = bench_train_step(cfg_bf16, 12, 228, 304)
+        _eprint(f"NYU train step (b=12, bf16): {dt_bf16*1e3:.1f} ms -> {imgs_bf16:.1f} images/s")
+
+        infer_dt = bench_infer(cfg, 228, 304)
+        _eprint(f"NYU inference (b=1): {infer_dt*1e3:.2f} ms/image")
+
+        for (b, h, w) in [(12, 228, 304), (4, 240, 1216)]:
+            r = bench_prop_kernels(b, h, w)
+            k = 12 * b
+            msg = " | ".join(
+                f"{name}: {dt*1e6:.0f}us ({k/dt/1e3:.1f}k iters/s)" if dt else f"{name}: n/a"
+                for name, dt in r.items())
+            _eprint(f"prop loop {b}x{h}x{w}: {msg}")
+    except Exception as e:  # context only — never fail the benchmark
+        _eprint(f"context benches aborted: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

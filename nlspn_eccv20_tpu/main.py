@@ -45,6 +45,23 @@ def _loader(cfg: Config, dataset, mode: str) -> DataLoader:
                       seed=cfg.seed, num_threads=cfg.num_threads)
 
 
+def _restore_pretrain(cfg: Config, state, src: str):
+    """Load pretrain weights: an experiment dir (Orbax) or a reference
+    torch checkpoint file (``{net: state_dict, args}`` .pt/.pth/.tar —
+    reference main.py:263-275), imported via utils/torch_import."""
+    if os.path.isfile(src) and src.endswith((".pt", ".pth", ".tar")):
+        from nlspn_eccv20_tpu.utils.torch_import import (
+            load_nlspn_torch_checkpoint,
+        )
+
+        variables = load_nlspn_torch_checkpoint(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)}, src, cfg)
+        return load_pretrained_params(state, variables)
+    restored = CheckpointManager(cfg, src).restore()
+    return load_pretrained_params(state, restored)
+
+
 def train(cfg: Config):
     data_train = get_dataset(cfg, "train")
     data_val = get_dataset(cfg, "val")
@@ -67,8 +84,7 @@ def train(cfg: Config):
             start_epoch = latest + 1
             print(f"resumed from epoch {latest}")
     elif cfg.pretrain:
-        restored = CheckpointManager(cfg, cfg.pretrain).restore()
-        state = load_pretrained_params(state, restored)
+        state = _restore_pretrain(cfg, state, cfg.pretrain)
         print(f"loaded pretrain from {cfg.pretrain}")
 
     if is_main_process():
@@ -154,8 +170,7 @@ def test(cfg: Config, state: TrainState = None, engine: Engine = None):
     if state is None:
         state = engine.init_state((cfg.patch_height, cfg.patch_width))
         src = cfg.pretrain or cfg.save_dir
-        restored = CheckpointManager(cfg, src).restore()
-        state = load_pretrained_params(state, restored)
+        state = _restore_pretrain(cfg, state, src)
         print(f"loaded checkpoint from {src}")
 
     eval_step = engine.eval_step_fn()

@@ -35,10 +35,10 @@ def _unnormalize_rgb(rgb: np.ndarray) -> np.ndarray:
 
 def _colormap(x: np.ndarray, vmax: float, cmap: str = "plasma") -> np.ndarray:
     """(H, W) -> (H, W, 3) uint8 via matplotlib colormap."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     norm = np.clip(x / max(vmax, 1e-8), 0, 1)
-    return (cm.get_cmap(cmap)(norm)[..., :3] * 255).astype(np.uint8)
+    return (matplotlib.colormaps[cmap](norm)[..., :3] * 255).astype(np.uint8)
 
 
 class Summary:

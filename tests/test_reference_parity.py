@@ -1,0 +1,266 @@
+"""Full-model numerical parity against the actual reference implementation.
+
+Runs the reference PyTorch NLSPNModel (/root/reference/src/model/nlspnmodel.py)
+on CPU with randomized weights, imports its state_dict into our Flax model via
+utils/torch_import.import_nlspn_state_dict, and compares the complete output
+dicts. This validates the entire architecture end-to-end — encoder, S2D,
+ResNet stages, decoder, fused heads, affinity normalization (TGASS center
+insertion), confidence weighting, input preservation, and the GRU-refreshed
+propagation loop — not just individual ops.
+
+The reference's hard CUDA dependency (``import DCN``) and its torchvision
+dependency are satisfied with stubs: the default config never calls DCN
+(--offset False routes through the shift-and-stack path, nlspnmodel.py:210-224)
+and ``from_scratch`` skips pretrained loading, so only torchvision's
+layer1-3 *structure* is needed (BasicBlock stages, mirrored below from the
+standard torchvision layout that reference common.py:27-42 consumes).
+
+Skipped when /root/reference is not present.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/src"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available")
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+
+# ---------------------------------------------------------------------------
+# Stubs: DCN ext module (never called with offset=False) and torchvision
+# (only resnet18/34 layer1-3 structure is used by the reference).
+# ---------------------------------------------------------------------------
+
+
+class _BasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + idt)
+
+
+def _stage(cin, cout, blocks, stride):
+    layers = [_BasicBlock(cin, cout, stride)]
+    layers += [_BasicBlock(cout, cout) for _ in range(blocks - 1)]
+    return nn.Sequential(*layers)
+
+
+class _ResNet(nn.Module):
+    def __init__(self, blocks):
+        super().__init__()
+        self.layer1 = _stage(64, 64, blocks[0], 1)
+        self.layer2 = _stage(64, 128, blocks[1], 2)
+        self.layer3 = _stage(128, 256, blocks[2], 2)
+
+
+def _install_stubs():
+    if "DCN" not in sys.modules:
+        sys.modules["DCN"] = types.ModuleType("DCN")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        models = types.ModuleType("torchvision.models")
+        models.resnet18 = lambda pretrained=False: _ResNet((2, 2, 2))
+        models.resnet34 = lambda pretrained=False: _ResNet((3, 4, 6))
+        tv.models = models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = models
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+def _ref_model(args):
+    _install_stubs()
+    from model.nlspnmodel import NLSPNModel  # noqa: E402 (reference)
+
+    torch.manual_seed(0)
+    m = NLSPNModel(args)
+    # Randomize every trainable tensor so the comparison exercises real
+    # (nonzero) affinities/offheads; keep the frozen gather dummies and
+    # gamma at their constructed values.
+    gen = torch.Generator().manual_seed(42)
+    for name, p in m.named_parameters():
+        if name in ("w", "b", "w_conf", "aff_scale_const"):
+            continue
+        with torch.no_grad():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+    return m.eval()
+
+
+def _args(**kw):
+    base = dict(
+        model_name="NLSPN", network="resnet18", from_scratch=True,
+        prop_kernel=3, prop_time=4, affinity="TGASS", affinity_gamma=0.5,
+        conf_prop=True, offset=False, preserve_input=True, always_clip=False,
+        use_GRU=True, use_S2D=True, zero_init_aff=True,
+        GRU_hidden_dim=128, GRU_input_dim=128, max_depth=10.0,
+        patch_height=48, patch_width=64, lr=1e-3,
+    )
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def _our_cfg(a):
+    from nlspn_eccv20_tpu.config import Config
+
+    return Config(
+        network=a.network, prop_kernel=a.prop_kernel, prop_time=a.prop_time,
+        affinity=a.affinity, affinity_gamma=a.affinity_gamma,
+        conf_prop=a.conf_prop, offset=a.offset,
+        preserve_input=a.preserve_input, always_clip=a.always_clip,
+        use_GRU=a.use_GRU, use_S2D=a.use_S2D, zero_init_aff=a.zero_init_aff,
+        GRU_hidden_dim=a.GRU_hidden_dim, GRU_input_dim=a.GRU_input_dim,
+        max_depth=a.max_depth, patch_height=a.patch_height,
+        patch_width=a.patch_width, prop_impl="xla",
+    ).finalize()
+
+
+def _sample(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    rgb = rng.standard_normal((1, h, w, 3)).astype(np.float32)
+    gt = np.clip(rng.random((1, h, w, 1)) * 8.0, 0.05, None).astype(np.float32)
+    dep = (gt * (rng.random((1, h, w, 1)) > 0.95)).astype(np.float32)
+    return rgb, dep
+
+
+def _run_both(a):
+    import jax
+
+    from nlspn_eccv20_tpu.models import get_model
+    from nlspn_eccv20_tpu.utils.torch_import import import_nlspn_state_dict
+
+    tm = _ref_model(a)
+    h, w = a.patch_height, a.patch_width
+    rgb, dep = _sample(h, w)
+
+    with torch.no_grad():
+        t_out = tm({
+            "rgb": torch.from_numpy(np.transpose(rgb, (0, 3, 1, 2))),
+            "dep": torch.from_numpy(np.transpose(dep, (0, 3, 1, 2))),
+        })
+
+    cfg = _our_cfg(a)
+    model = get_model(cfg)
+    sample = {"rgb": rgb, "dep": dep}
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    variables = import_nlspn_state_dict(variables, tm.state_dict(), cfg)
+    j_out = model.apply(variables, sample, train=False)
+    return t_out, j_out
+
+
+def _nchw(x):
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("kw", [
+    {},  # full fork defaults: S2D + GRU + conf + preserve, TGASS
+    {"use_GRU": False, "use_S2D": False, "affinity": "ASS",
+     "conf_prop": False, "preserve_input": False, "always_clip": True},
+])
+def test_forward_parity(kw):
+    a = _args(**kw)
+    t_out, j_out = _run_both(a)
+
+    pairs = [("pred_init", t_out["pred_init"], _nchw(j_out["pred_init"])),
+             ("pred", t_out["pred"], _nchw(j_out["pred"])),
+             ("aff", t_out["aff"], _nchw(j_out["aff"]))]
+    if a.conf_prop:
+        pairs.append(("confidence", t_out["confidence"],
+                      _nchw(j_out["confidence"])))
+    for t, (tp, jp) in enumerate(zip(t_out["pred_inter"],
+                                     j_out["pred_inter"])):
+        pairs.append((f"pred_inter[{t}]", tp, _nchw(jp)))
+
+    for name, t_val, j_val in pairs:
+        t_np = t_val.detach().numpy()
+        assert t_np.shape == j_val.shape, name
+        err = np.max(np.abs(t_np - j_val))
+        scale = max(np.max(np.abs(t_np)), 1.0)
+        assert err / scale < 2e-4, f"{name}: max abs err {err} (scale {scale})"
+
+    assert float(t_out["gamma"]) == pytest.approx(
+        float(np.asarray(j_out["gamma"])[0]), rel=1e-6)
+
+
+def test_torch_checkpoint_file_roundtrip(tmp_path):
+    """A saved reference training checkpoint ({net: state_dict, args} with
+    DDP 'module.' prefixes, reference main.py:263-275) loads via
+    load_nlspn_torch_checkpoint and reproduces the torch forward."""
+    import jax
+
+    from nlspn_eccv20_tpu.models import get_model
+    from nlspn_eccv20_tpu.utils.torch_import import (
+        load_nlspn_torch_checkpoint,
+    )
+
+    a = _args(use_GRU=False, use_S2D=False, prop_time=2)
+    tm = _ref_model(a)
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    path = tmp_path / "model_00020.pt"
+    torch.save({"net": sd, "args": vars(a)}, path)
+
+    rgb, dep = _sample(a.patch_height, a.patch_width)
+    with torch.no_grad():
+        t_pred = tm({
+            "rgb": torch.from_numpy(np.transpose(rgb, (0, 3, 1, 2))),
+            "dep": torch.from_numpy(np.transpose(dep, (0, 3, 1, 2))),
+        })["pred"].numpy()
+
+    cfg = _our_cfg(a)
+    model = get_model(cfg)
+    sample = {"rgb": rgb, "dep": dep}
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    variables = load_nlspn_torch_checkpoint(variables, str(path), cfg)
+    j_pred = _nchw(model.apply(variables, sample, train=False)["pred"])
+    err = np.max(np.abs(t_pred - j_pred))
+    assert err / max(np.max(np.abs(t_pred)), 1.0) < 2e-4
+
+
+def test_forward_parity_resnet34_scan_loop():
+    """resnet34 stages + the scan prop-loop variant share the same numerics."""
+    a = _args(network="resnet34", prop_time=3)
+    import jax
+
+    from nlspn_eccv20_tpu.models import get_model
+    from nlspn_eccv20_tpu.utils.torch_import import import_nlspn_state_dict
+
+    tm = _ref_model(a)
+    rgb, dep = _sample(a.patch_height, a.patch_width)
+    with torch.no_grad():
+        t_out = tm({
+            "rgb": torch.from_numpy(np.transpose(rgb, (0, 3, 1, 2))),
+            "dep": torch.from_numpy(np.transpose(dep, (0, 3, 1, 2))),
+        })
+
+    cfg = _our_cfg(a).replace(prop_loop="scan")
+    model = get_model(cfg)
+    sample = {"rgb": rgb, "dep": dep}
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    variables = import_nlspn_state_dict(variables, tm.state_dict(), cfg)
+    j_out = model.apply(variables, sample, train=False)
+
+    t_np = t_out["pred"].detach().numpy()
+    err = np.max(np.abs(t_np - _nchw(j_out["pred"])))
+    assert err / max(np.max(np.abs(t_np)), 1.0) < 2e-4
