@@ -210,6 +210,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", type=str, default=d.optimizer,
                    choices=("SGD", "ADAM", "RMSprop"))
     p.add_argument("--momentum", type=float, default=d.momentum)
+    p.add_argument("--betas", type=float, nargs=2, default=list(d.betas),
+                   help="ADAM betas (reference config.py:176-182)")
     p.add_argument("--epsilon", type=float, default=d.epsilon)
     p.add_argument("--weight_decay", type=float, default=d.weight_decay)
     _add_bool_flag(p, "warm_up", d.warm_up)
@@ -254,7 +256,10 @@ def build_parser() -> argparse.ArgumentParser:
 def parse_args(argv=None) -> Config:
     ns = build_parser().parse_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}
-    cfg = Config(**{k: v for k, v in vars(ns).items() if k in known})
+    kwargs = {k: v for k, v in vars(ns).items() if k in known}
+    if isinstance(kwargs.get("betas"), list):
+        kwargs["betas"] = tuple(kwargs["betas"])
+    cfg = Config(**kwargs)
     return check_args(cfg.finalize())
 
 

@@ -40,20 +40,27 @@ def torch_bias_init(fan_in: int) -> Callable:
 
 
 class Conv(nn.Module):
-    """Plain NHWC conv with torch-default init and exact torch padding."""
+    """Plain NHWC conv with torch-default init and exact torch padding.
+
+    ``planar_in``: consume a planar/NCHW (B, C, H, W) input directly
+    (dimension_numbers handle the logical transpose inside the conv) — used
+    at the propagation-loop boundary where the carried state is planar and a
+    separate ``moveaxis`` would materialize a full-res transpose copy.
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     use_bias: bool = True
     zero_init: bool = False
+    planar_in: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         k, s = self.kernel, self.stride
         pad = (k - 1) // 2
-        in_ch = x.shape[-1]
+        in_ch = x.shape[1] if self.planar_in else x.shape[-1]
         fan_in = in_ch * k * k
         kinit = nn.initializers.zeros if self.zero_init else torch_conv_kernel_init
         binit = nn.initializers.zeros if self.zero_init else torch_bias_init(fan_in)
@@ -64,7 +71,8 @@ class Conv(nn.Module):
             kernel.astype(dtype),
             window_strides=(s, s),
             padding=((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=("NCHW" if self.planar_in else "NHWC",
+                               "HWIO", "NHWC"),
         )
         if self.use_bias:
             bias = self.param("bias", binit, (self.features,), jnp.float32)
@@ -75,8 +83,15 @@ class Conv(nn.Module):
 class ConvTranspose(nn.Module):
     """Transposed conv matching torch ConvTranspose2d(k, s, p, output_padding).
 
-    Implemented as an lhs-dilated conv with a spatially flipped kernel:
+    Implemented as an lhs-dilated conv:
         out = (in - 1) * s - 2p + k + output_padding
+
+    The kernel is stored PRE-FLIPPED spatially (the lhs-dilated-conv
+    convention) rather than flipped at apply time: device profiling showed
+    XLA materializes the flip as a separate `reverse` op per call site —
+    ~4 ms/step across the unrolled propagation loop's decode_aff deconvs.
+    The random init is flip-symmetric so training is unaffected;
+    utils/torch_import flips torch ConvTranspose2d weights on import.
     """
 
     features: int
@@ -86,6 +101,7 @@ class ConvTranspose(nn.Module):
     output_padding: int = 1
     use_bias: bool = True
     zero_init: bool = False
+    planar_out: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -97,22 +113,28 @@ class ConvTranspose(nn.Module):
         fan_in = self.features * k * k
         kinit = nn.initializers.zeros if self.zero_init else torch_conv_kernel_init
         binit = nn.initializers.zeros if self.zero_init else torch_bias_init(fan_in)
-        # Stored as (k, k, in, out); contraction over `in` (the input channels).
+        # Stored as (k, k, in, out), spatially flipped (see docstring);
+        # contraction over `in` (the input channels).
         kernel = self.param("kernel", kinit, (k, k, in_ch, self.features), jnp.float32)
         dtype = self.dtype or x.dtype
         pad_lo = k - 1 - p
         pad_hi = k - 1 - p + op
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
-            jnp.flip(kernel, (0, 1)).astype(dtype),
+            kernel.astype(dtype),
             window_strides=(1, 1),
             padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
             lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            # planar_out emits (B, C, H, W) directly — the propagation loop
+            # consumes planar affinities, and a post-hoc moveaxis would
+            # materialize a full-res transpose copy every iteration.
+            dimension_numbers=("NHWC", "HWIO",
+                               "NCHW" if self.planar_out else "NHWC"),
         )
         if self.use_bias:
             bias = self.param("bias", binit, (self.features,), jnp.float32)
-            y = y + bias.astype(dtype)
+            b = bias.astype(dtype)
+            y = y + (b[:, None, None] if self.planar_out else b)
         return y
 
 
@@ -148,12 +170,14 @@ class ConvBNReLU(nn.Module):
     bn: bool = True
     relu: bool = True
     zero_init: bool = False
+    planar_in: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = Conv(self.features, self.kernel, self.stride, use_bias=not self.bn,
-                 zero_init=self.zero_init, dtype=self.dtype, name="conv")(x)
+                 zero_init=self.zero_init, planar_in=self.planar_in,
+                 dtype=self.dtype, name="conv")(x)
         if self.bn:
             y = BatchNorm(use_running_average=not train, dtype=self.dtype,
                           name="bn")(y)
@@ -173,14 +197,16 @@ class ConvTBNReLU(nn.Module):
     bn: bool = True
     relu: bool = True
     zero_init: bool = False
+    planar_out: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.planar_out and self.bn), "planar_out is BN-free"
         y = ConvTranspose(self.features, self.kernel, self.stride, self.padding,
                           self.output_padding, use_bias=not self.bn,
-                          zero_init=self.zero_init, dtype=self.dtype,
-                          name="conv")(x)
+                          zero_init=self.zero_init, planar_out=self.planar_out,
+                          dtype=self.dtype, name="conv")(x)
         if self.bn:
             y = BatchNorm(use_running_average=not train, dtype=self.dtype,
                           name="bn")(y)

@@ -40,7 +40,6 @@ from nlspn_eccv20_tpu.models.common import (
     Conv,
     ConvBNReLU,
     ConvTBNReLU,
-    clip_to,
     concat_trim,
     torch_bias_init,
     torch_conv_kernel_init,
@@ -118,23 +117,49 @@ class S2D(nn.Module):
 
 
 class ConvGRU(nn.Module):
-    """3x3 conv GRU over the affinity hidden state (reference :386-403)."""
+    """3x3 conv GRU over the affinity hidden state (reference :386-403).
+
+    The z and r gates read the SAME concat(h, x) input; their convs are
+    fused into one 2*hidden-out conv at apply time (exact same math — the
+    per-gate kernels/biases keep the reference shapes so checkpoints
+    interchange), halving the hx reads. This runs 11x per step inside the
+    propagation loop.
+    """
 
     hidden_dim: int = 128
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, x):
-        hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(Conv(self.hidden_dim, 3, dtype=self.dtype, name="convz")(hx))
-        r = nn.sigmoid(Conv(self.hidden_dim, 3, dtype=self.dtype, name="convr")(hx))
-        q = jnp.tanh(Conv(self.hidden_dim, 3, dtype=self.dtype, name="convq")(
+        hd = self.hidden_dim
+        in_ch = h.shape[-1] + x.shape[-1]
+        fan_in = in_ch * 9
+        ks, bs = [], []
+        for gate in ("convz", "convr"):
+            ks.append(self.param(f"{gate}_kernel", torch_conv_kernel_init,
+                                 (3, 3, in_ch, hd), jnp.float32))
+            bs.append(self.param(f"{gate}_bias", torch_bias_init(fan_in),
+                                 (hd,), jnp.float32))
+        dt = self.dtype or h.dtype
+        hx = jnp.concatenate([h, x], axis=-1).astype(dt)
+        zr = jax.lax.conv_general_dilated(
+            hx, jnp.concatenate(ks, axis=-1).astype(dt), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.concatenate(bs).astype(dt)
+        z = nn.sigmoid(zr[..., :hd])
+        r = nn.sigmoid(zr[..., hd:])
+        q = jnp.tanh(Conv(hd, 3, dtype=self.dtype, name="convq")(
             jnp.concatenate([r * h, x], axis=-1)))
         return (1.0 - z) * h + z * q
 
 
 class EncodeDep(nn.Module):
-    """Depth -> GRU input feature at 1/8 (reference :134-138)."""
+    """Depth -> GRU input feature at 1/8 (reference :134-138).
+
+    Takes the loop-carried depth as a PLANAR (B, 1, H, W) plane — the first
+    conv's dimension_numbers absorb the layout change, avoiding a
+    materialized full-res transpose per iteration.
+    """
 
     cfg: Config
     dtype: Optional[Any] = None
@@ -142,13 +167,18 @@ class EncodeDep(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.cfg.GRU_input_dim
-        x = ConvBNReLU(16, 3, 2, bn=False, dtype=self.dtype, name="conv0")(x, train)
+        x = ConvBNReLU(16, 3, 2, bn=False, planar_in=True, dtype=self.dtype,
+                       name="conv0")(x, train)
         x = ConvBNReLU(2 * c, 3, 2, bn=False, dtype=self.dtype, name="conv1")(x, train)
         return ConvBNReLU(c, 3, 2, bn=False, dtype=self.dtype, name="conv2")(x, train)
 
 
 class DecodeAff(nn.Module):
-    """GRU hidden state -> raw neighbor affinities at 1/1 (reference :140-144)."""
+    """GRU hidden state -> raw neighbor affinities at 1/1 (reference :140-144).
+
+    The last deconv emits PLANAR (B, num_neighbors, H, W) directly (the
+    loop's affinity layout) via the conv's output dimension_numbers.
+    """
 
     cfg: Config
     dtype: Optional[Any] = None
@@ -162,7 +192,8 @@ class DecodeAff(nn.Module):
                         name="deconv1")(x, train)
         return ConvTBNReLU(self.cfg.num_neighbors, 3, 2, 1, 1, bn=False,
                            relu=False, zero_init=self.cfg.zero_init_aff,
-                           dtype=self.dtype, name="deconv2")(x, train)
+                           planar_out=True, dtype=self.dtype,
+                           name="deconv2")(x, train)
 
 
 class EncodeAff(nn.Module):
@@ -326,14 +357,15 @@ class PropStep(nn.Module):
 
         if cfg.use_GRU:
             dep_feat = EncodeDep(cfg, dtype=self.dtype, name="encode_dep")(
-                (pred / cfg.max_depth)[..., None].astype(
+                (pred / cfg.max_depth)[:, None].astype(
                     self.dtype or pred.dtype))
             aff_feat = ConvGRU(cfg.GRU_hidden_dim, dtype=self.dtype,
                                name="GRU")(carry["aff_feat"], dep_feat)
             raw = DecodeAff(cfg, dtype=self.dtype, name="decode_aff")(aff_feat)
-            raw = clip_to(raw, pred.shape[1], pred.shape[2]).astype(jnp.float32)
-            aff = normalize_affinity_planar(jnp.moveaxis(raw, -1, 1),
-                                            carry["gamma"], cfg.affinity)
+            # planar (B, K2-1, Hp, Wp): trim deconv over-padding
+            # (reference _clip_as, :237-250) and re-normalize.
+            raw = raw[:, :, :pred.shape[1], :pred.shape[2]].astype(jnp.float32)
+            aff = normalize_affinity_planar(raw, carry["gamma"], cfg.affinity)
             carry = dict(carry, aff_feat=aff_feat, aff=aff)
 
         return carry, pred

@@ -9,8 +9,8 @@ tree so released weights remain usable.
 Weight layout conversions:
   torch Conv2d weight (O, I, kH, kW)         -> HWIO (kH, kW, I, O)
   torch ConvTranspose2d weight (I, O, kH, kW)-> our ConvTranspose stores
-     (kH, kW, I, O) and flips spatially at apply time, matching torch's
-     cross-correlation-transpose semantics directly (no flip needed here).
+     (kH, kW, I, O) PRE-FLIPPED spatially (lhs-dilated-conv convention;
+     see models/common.py ConvTranspose), so the import flips here.
   BatchNorm: weight->scale, bias->bias, running_mean/var->batch_stats.
 """
 
@@ -26,7 +26,9 @@ def _conv_w(t) -> np.ndarray:
 
 
 def _convt_w(t) -> np.ndarray:
-    return np.transpose(np.asarray(t), (2, 3, 0, 1))  # IOHW -> HWIO(in,out)
+    # IOHW -> HWIO(in,out), pre-flipped spatially (our ConvTranspose stores
+    # the lhs-dilated-conv kernel; torch's transpose semantics need the flip).
+    return np.flip(np.transpose(np.asarray(t), (2, 3, 0, 1)), axis=(0, 1)).copy()
 
 
 def resnet_stage_params(state_dict: Dict[str, Any], layer: str,
@@ -207,10 +209,11 @@ def import_nlspn_state_dict(variables: Dict[str, Any],
             da = ps["decode_aff"][f"deconv{i}"]["conv"]
             da["kernel"] = _convt_w(sd[f"decode_aff.{i}.0.weight"])
             da["bias"] = _np(sd[f"decode_aff.{i}.0.bias"])
-        for gate in ("convz", "convr", "convq"):
-            g = ps["GRU"][gate]
-            g["kernel"] = _conv_w(sd[f"GRU.{gate}.weight"])
-            g["bias"] = _np(sd[f"GRU.{gate}.bias"])
+        for gate in ("convz", "convr"):
+            ps["GRU"][f"{gate}_kernel"] = _conv_w(sd[f"GRU.{gate}.weight"])
+            ps["GRU"][f"{gate}_bias"] = _np(sd[f"GRU.{gate}.bias"])
+        ps["GRU"]["convq"]["kernel"] = _conv_w(sd["GRU.convq.weight"])
+        ps["GRU"]["convq"]["bias"] = _np(sd["GRU.convq.bias"])
 
     out = {**v, "params": params}
     if stats:
