@@ -204,6 +204,114 @@ def test_forward_parity(kw):
         float(np.asarray(j_out["gamma"])[0]), rel=1e-6)
 
 
+def test_gradient_parity():
+    """Training-dynamics parity: parameter gradients of the L1+L2 loss match
+    the reference autograd through the full model (train-mode BN, S2D, GRU
+    refresh, confidence, input preservation) to float32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlspn_eccv20_tpu.losses import get_loss
+    from nlspn_eccv20_tpu.models import get_model
+    from nlspn_eccv20_tpu.utils.torch_import import (
+        _conv_w,
+        _convt_w,
+        import_nlspn_state_dict,
+    )
+
+    a = _args(prop_time=3)
+    tm = _ref_model(a).train()
+    h, w = a.patch_height, a.patch_width
+    rgb, dep = _sample(h, w)
+    rng = np.random.default_rng(11)
+    gt = np.clip(rng.random((1, h, w, 1)) * 9.0, 0.0, None).astype(np.float32)
+
+    # ---- torch side: reference loss semantics (l1loss.py/l2loss.py:27-42),
+    # loss_sum / batch_size as in reference main.py:230.
+    t_rgb = torch.from_numpy(np.transpose(rgb, (0, 3, 1, 2)))
+    t_dep = torch.from_numpy(np.transpose(dep, (0, 3, 1, 2)))
+    t_gt = torch.from_numpy(np.transpose(gt, (0, 3, 1, 2)))
+    t_out = tm({"rgb": t_rgb, "dep": t_dep})
+
+    def t_loss(pred, gt_, p):
+        pred = pred.clamp(0, a.max_depth)
+        gt_ = gt_.clamp(0, a.max_depth)
+        mask = (gt_ > 1e-4).float()
+        d = (pred - gt_) * mask
+        d = d.abs() if p == 1 else d ** 2
+        num = mask.sum(dim=[1, 2, 3])
+        return (d.sum(dim=[1, 2, 3]) / (num + 1e-8)).sum()
+
+    loss = (t_loss(t_out["pred"], t_gt, 1) + t_loss(t_out["pred"], t_gt, 2))
+    loss = loss / t_rgb.shape[0]
+    loss.backward()
+    t_grads = {n: p.grad.numpy() if p.grad is not None else None
+               for n, p in tm.named_parameters()}
+
+    # ---- our side
+    cfg = _our_cfg(a).replace(loss="1.0*L1+1.0*L2")
+    model = get_model(cfg)
+    loss_fn = get_loss(cfg)
+    sample = {"rgb": rgb, "dep": dep, "gt": gt}
+    variables = model.init(jax.random.PRNGKey(0), sample, train=True)
+    variables = import_nlspn_state_dict(variables, tm.state_dict(), cfg)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    def loss_of(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            sample, train=True, mutable=["batch_stats"])
+        return loss_fn(sample, out)[0] / rgb.shape[0]
+
+    t_val = float(loss.detach())
+    j_val = float(loss_of(variables["params"]))
+    assert abs(t_val - j_val) / max(abs(t_val), 1.0) < 1e-4, (t_val, j_val)
+
+    g = jax.grad(loss_of)(variables["params"])
+
+    # ---- compare a representative selection across every subsystem
+    def close(name, t_g, j_g):
+        t_g, j_g = np.asarray(t_g), np.asarray(j_g)
+        assert t_g.shape == j_g.shape, name
+        scale = max(np.max(np.abs(t_g)), 1e-8)
+        err = np.max(np.abs(t_g - j_g)) / scale
+        assert err < 5e-3, f"{name}: rel err {err} (scale {scale})"
+
+    close("conv1_rgb.w", _conv_w(t_grads["conv1_rgb.0.weight"]),
+          g["conv1_rgb"]["conv"]["kernel"])
+    close("S2D.conv.w", _conv_w(t_grads["S2D.conv.0.weight"]),
+          g["S2D"]["conv"]["conv"]["kernel"])
+    close("S2D.pool0.w", _conv_w(t_grads["S2D.pool_convs.0.0.weight"]),
+          g["S2D"]["pool_conv0_kernel"])
+    close("conv2.b0.conv1.w", _conv_w(t_grads["conv2.0.conv1.weight"]),
+          g["conv2"]["block0"]["conv1"]["kernel"])
+    close("conv5.bn.scale", t_grads["conv5.1.weight"],
+          g["conv5"]["bn"]["BatchNorm_0"]["scale"])
+    close("dec4.w", _convt_w(t_grads["dec4.0.weight"]),
+          g["dec4"]["conv"]["kernel"])
+    close("heads.id_dec0.w", _conv_w(t_grads["id_dec0.0.weight"]),
+          g["heads"]["id_dec0_kernel"])
+    close("heads.off_aff_dec0.w", _conv_w(t_grads["off_aff_dec0.0.weight"]),
+          g["heads"]["off_aff_dec0_kernel"])
+    close("heads.cf_dec0.w", _conv_w(t_grads["cf_dec0.0.weight"]),
+          g["heads"]["cf_dec0_kernel"])
+    close("heads.dec1.w", np.concatenate(
+        [_conv_w(t_grads[f"{hh}_dec1.0.weight"]) for hh in
+         ("id", "off_aff", "cf")], axis=-1),
+        g["heads"]["dec1_conv"]["kernel"])
+    close("GRU.convz.w", _conv_w(t_grads["GRU.convz.weight"]),
+          g["prop_step"]["GRU"]["convz_kernel"])
+    close("GRU.convq.w", _conv_w(t_grads["GRU.convq.weight"]),
+          g["prop_step"]["GRU"]["convq"]["kernel"])
+    close("encode_dep.c0.w", _conv_w(t_grads["encode_dep.0.0.weight"]),
+          g["prop_step"]["encode_dep"]["conv0"]["conv"]["kernel"])
+    close("encode_aff.c0.w", _conv_w(t_grads["encode_aff.0.0.weight"]),
+          g["encode_aff"]["conv0"]["conv"]["kernel"])
+    close("decode_aff.d2.w", _convt_w(t_grads["decode_aff.2.0.weight"]),
+          g["prop_step"]["decode_aff"]["deconv2"]["conv"]["kernel"])
+    close("gamma", t_grads["aff_scale_const"], g["aff_scale_const"])
+
+
 def test_torch_checkpoint_file_roundtrip(tmp_path):
     """A saved reference training checkpoint ({net: state_dict, args} with
     DDP 'module.' prefixes, reference main.py:263-275) loads via
