@@ -1,0 +1,174 @@
+"""Dataset tooling tests (reference utils/ parity, SURVEY.md section 2.4):
+split-JSON generators for NYU + KITTI DC and the KITTI raw->DC copier, run
+against tiny synthetic directory trees."""
+
+import json
+import os
+import sys
+
+import pytest
+
+
+def _run_main(module, argv):
+    old = sys.argv
+    sys.argv = ["tool"] + argv
+    try:
+        module.main()
+    finally:
+        sys.argv = old
+
+
+def _touch(path, data=b"x"):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+class TestGenerateJsonNYU:
+    def test_split_and_ratio(self, tmp_path):
+        from nlspn_eccv20_tpu.tools import generate_json_nyu
+
+        root = tmp_path / "nyu"
+        for scene in ("kitchen_0001", "office_0002"):
+            for i in range(10):
+                _touch(str(root / "train" / scene / f"{i:05d}.h5"))
+        for i in range(4):
+            _touch(str(root / "val" / "official" / f"{i:05d}.h5"))
+
+        out = tmp_path / "nyu.json"
+        _run_main(generate_json_nyu,
+                  ["--path_root", str(root), "--path_out", str(out),
+                   "--val_ratio", "0.1"])
+        data = json.loads(out.read_text())
+        assert len(data["val"]) == 2  # 10% of 20
+        assert len(data["train"]) == 18
+        assert len(data["test"]) == 4
+        # train/val disjoint; paths relative to root
+        tr = {e["filename"] for e in data["train"]}
+        vl = {e["filename"] for e in data["val"]}
+        assert not tr & vl
+        assert all(not f.startswith("/") for f in tr | vl)
+        assert all(os.path.exists(root / e["filename"])
+                   for e in data["train"] + data["val"] + data["test"])
+
+    def test_deterministic_seed(self, tmp_path):
+        from nlspn_eccv20_tpu.tools import generate_json_nyu
+
+        root = tmp_path / "nyu"
+        for i in range(20):
+            _touch(str(root / "train" / "s" / f"{i:05d}.h5"))
+        outs = []
+        for name in ("a.json", "b.json"):
+            out = tmp_path / name
+            _run_main(generate_json_nyu,
+                      ["--path_root", str(root), "--path_out", str(out),
+                       "--seed", "7240"])
+            outs.append(out.read_text())
+        assert outs[0] == outs[1]
+
+
+def _make_kitti_dc(root, split, seq="2011_09_26_drive_0001_sync", n=3):
+    base = os.path.join(root, split, seq)
+    for cam in ("image_02", "image_03"):
+        for i in range(n):
+            fn = f"{i:010d}.png"
+            _touch(os.path.join(base, "proj_depth", "groundtruth", cam, fn))
+            _touch(os.path.join(base, "proj_depth", "velodyne_raw", cam, fn))
+            _touch(os.path.join(base, cam, "data", fn))
+
+
+class TestGenerateJsonKITTI:
+    def test_train_val_test(self, tmp_path):
+        from nlspn_eccv20_tpu.tools import generate_json_kitti_dc
+
+        root = str(tmp_path / "kitti")
+        _make_kitti_dc(root, "train")
+        _make_kitti_dc(root, "val", seq="2011_09_28_drive_0002_sync", n=2)
+        sel = os.path.join(root, "depth_selection", "val_selection_cropped")
+        for i in range(2):
+            fn = f"2011_09_26_drive_0005_sync_image_{i:010d}_image_02.png"
+            _touch(os.path.join(sel, "image", fn))
+            _touch(os.path.join(sel, "velodyne_raw",
+                                fn.replace("image", "velodyne_raw")))
+            _touch(os.path.join(sel, "groundtruth_depth",
+                                fn.replace("image", "groundtruth_depth")))
+            _touch(os.path.join(sel, "intrinsics", fn[:-4] + ".txt"))
+
+        out = tmp_path / "kitti_dc.json"
+        _run_main(generate_json_kitti_dc,
+                  ["--path_root", root, "--path_out", str(out)])
+        data = json.loads(out.read_text())
+        assert len(data["train"]) == 6   # 3 frames x 2 cams
+        assert len(data["val"]) == 4
+        assert len(data["test"]) == 2
+        e = data["train"][0]
+        assert set(e) == {"rgb", "depth", "gt", "K"}
+        for k in ("rgb", "depth", "gt"):
+            assert os.path.exists(os.path.join(root, e[k])), e[k]
+        assert e["K"].endswith("calib_cam_to_cam.txt")
+
+    def test_test_data_mode(self, tmp_path):
+        from nlspn_eccv20_tpu.tools import generate_json_kitti_dc
+
+        root = str(tmp_path / "kitti")
+        base = os.path.join(root, "depth_selection",
+                            "test_depth_completion_anonymous")
+        for i in range(3):
+            fn = f"{i:010d}.png"
+            _touch(os.path.join(base, "image", fn))
+            _touch(os.path.join(base, "velodyne_raw", fn))
+            _touch(os.path.join(base, "intrinsics", fn[:-4] + ".txt"))
+        out = tmp_path / "kitti_dc_test.json"
+        _run_main(generate_json_kitti_dc,
+                  ["--path_root", root, "--path_out", str(out), "--test_data"])
+        data = json.loads(out.read_text())
+        assert data["train"] == [] and data["val"] == []
+        assert len(data["test"]) == 3
+        # anonymous split has no gt: gt falls back to the sparse depth
+        assert data["test"][0]["gt"] == data["test"][0]["depth"]
+
+
+class TestPrepareKITTI:
+    def test_copies_rgb_oxts_calib(self, tmp_path):
+        from nlspn_eccv20_tpu.tools import prepare_kitti_dc
+
+        dc = str(tmp_path / "dc")
+        raw = str(tmp_path / "raw")
+        seq = "2011_09_26_drive_0001_sync"
+        _touch(os.path.join(dc, "train", seq, "proj_depth", "groundtruth",
+                            "image_02", "0000000000.png"))
+        for sub in ("image_02", "image_03", "oxts"):
+            _touch(os.path.join(raw, "2011_09_26", seq, sub, "data",
+                                "0000000000.bin"))
+        for cf in prepare_kitti_dc.CALIB_FILES:
+            _touch(os.path.join(raw, "2011_09_26", cf))
+
+        _run_main(prepare_kitti_dc, ["--path_dc", dc, "--path_raw", raw])
+        for sub in ("image_02", "image_03", "oxts"):
+            assert os.path.isdir(os.path.join(dc, "train", seq, sub)), sub
+        for cf in prepare_kitti_dc.CALIB_FILES:
+            assert os.path.isfile(os.path.join(dc, "2011_09_26", cf)), cf
+
+    def test_dry_run_copies_nothing(self, tmp_path):
+        from nlspn_eccv20_tpu.tools import prepare_kitti_dc
+
+        dc = str(tmp_path / "dc")
+        raw = str(tmp_path / "raw")
+        seq = "2011_09_26_drive_0001_sync"
+        _touch(os.path.join(dc, "train", seq, "proj_depth", "groundtruth",
+                            "image_02", "0000000000.png"))
+        _touch(os.path.join(raw, "2011_09_26", seq, "image_02", "data",
+                            "0000000000.bin"))
+        n = prepare_kitti_dc.prepare_split(dc, raw, "train", dry_run=True)
+        assert n == 1
+        assert not os.path.isdir(os.path.join(dc, "train", seq, "image_02"))
+
+    def test_missing_raw_sequence_skipped(self, tmp_path, capsys):
+        from nlspn_eccv20_tpu.tools import prepare_kitti_dc
+
+        dc = str(tmp_path / "dc")
+        _touch(os.path.join(dc, "train", "2011_09_26_drive_0009_sync",
+                            "proj_depth", "groundtruth", "image_02", "x.png"))
+        n = prepare_kitti_dc.prepare_split(dc, str(tmp_path / "raw"), "train")
+        assert n == 0
+        assert "missing raw sequence" in capsys.readouterr().out
