@@ -276,6 +276,10 @@ class Heads(nn.Module):
 
         dt = self.dtype or y.dtype
         x2 = jnp.concatenate([y, fe1.astype(y.dtype)], axis=-1)
+        # NOTE: a tap-major 1x1-conv + shifted-add decomposition of this
+        # small-output conv (lane-packing the MXU) was tried and measured
+        # SLOWER (+2.6 ms/step bf16) — the 9*total-channel intermediate's
+        # HBM traffic exceeds the MXU savings. XLA's direct conv stays.
         y2 = jax.lax.conv_general_dilated(
             x2.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
