@@ -191,6 +191,15 @@ def main():
         infer_dt = bench_infer(cfg, 228, 304)
         _eprint(f"NYU inference (b=1): {infer_dt*1e3:.2f} ms/image")
 
+        # KITTI DC headline config (240x1216 after top_crop; BASELINE.md):
+        # batch sized to chip HBM; reference trains this on 8x P40.
+        cfg_k = Config(patch_height=240, patch_width=1216, batch_size=3,
+                       max_depth=90.0, num_sample=0).finalize()
+        imgs_k, dt_k = bench_train_step(cfg_k, 3, 240, 1216)
+        _eprint(f"KITTI train step (b=3): {dt_k*1e3:.1f} ms -> {imgs_k:.1f} images/s")
+        infer_k = bench_infer(cfg_k, 240, 1216)
+        _eprint(f"KITTI inference (b=1): {infer_k*1e3:.2f} ms/image")
+
         for (b, h, w) in [(12, 228, 304), (4, 240, 1216)]:
             r = bench_prop_kernels(b, h, w)
             k = 12 * b

@@ -105,16 +105,36 @@ class Config:
     profile_dir: str = ""
 
     # ------------------------------------------------------------------
+    def __post_init__(self):
+        """Validate invariants at construction (the reference fails lazily at
+        forward time, e.g. nlspnmodel.py:29-30,199; fail fast instead)."""
+        if self.prop_kernel % 2 != 1 or self.prop_kernel < 1:
+            raise ValueError(f"only odd prop_kernel >= 1 supported, got {self.prop_kernel}")
+        if self.affinity not in ("AS", "ASS", "TC", "TGASS"):
+            raise ValueError(f"unknown affinity {self.affinity!r} (AS|ASS|TC|TGASS)")
+        if self.prop_time < 0:
+            raise ValueError(f"prop_time must be >= 0, got {self.prop_time}")
+        if self.num_sample < 0:
+            raise ValueError(f"num_sample must be >= 0, got {self.num_sample}")
+        if self.batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {self.batch_size}")
+        if self.optimizer.upper() not in ("SGD", "ADAM", "RMSPROP"):
+            raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        if self.network not in ("resnet18", "resnet34"):
+            raise ValueError(f"unknown network {self.network!r}")
+        if self.precision not in ("f32", "bf16"):
+            raise ValueError(f"unknown precision {self.precision!r} (f32|bf16)")
+        if self.prop_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown prop_impl {self.prop_impl!r}")
+        if self.prop_loop not in ("unroll", "scan"):
+            raise ValueError(f"unknown prop_loop {self.prop_loop!r}")
+
     @property
     def num_neighbors(self) -> int:
         return self.prop_kernel * self.prop_kernel - 1
 
     def finalize(self) -> "Config":
         """Compute derived fields; call once after parsing."""
-        if self.prop_kernel % 2 != 1:
-            raise ValueError(f"only odd prop_kernel supported, got {self.prop_kernel}")
-        if self.affinity not in ("AS", "ASS", "TC", "TGASS"):
-            raise ValueError(f"unknown affinity {self.affinity}")
         if not self.save_dir:
             ts = time.strftime("%y%m%d_%H%M%S_")
             self.save_dir = f"{self.experiments_dir}/{ts}{self.save}"

@@ -20,8 +20,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nlspn_eccv20_tpu.ops.spaceconv import conv3x3_s2, convt3x3_s2
-
 Dtype = Any
 
 # torch nn.Conv2d default weight init: kaiming_uniform(a=sqrt(5)) over fan_in.
@@ -68,24 +66,14 @@ class Conv(nn.Module):
         binit = nn.initializers.zeros if self.zero_init else torch_bias_init(fan_in)
         kernel = self.param("kernel", kinit, (k, k, in_ch, self.features), jnp.float32)
         dtype = self.dtype or x.dtype
-        h, w = (x.shape[2], x.shape[3]) if self.planar_in else (x.shape[1], x.shape[2])
-        if s == 2 and k == 3 and h % 2 == 0 and w % 2 == 0 and in_ch <= 32:
-            # Space-to-depth reformulation: exact same math, dilation-free
-            # backward, MXU-friendly channels (see ops/spaceconv.py).
-            # Gated on in_ch <= 32: packing phases into channels only wins
-            # while 4*Ci still fits the 128-lane tile; measured losses for
-            # the 64/128-ch resnet stride-2 convs (devtools/exp_spaceconv).
-            y = conv3x3_s2(x.astype(dtype), kernel.astype(dtype),
-                           planar_in=self.planar_in)
-        else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(dtype),
-                kernel.astype(dtype),
-                window_strides=(s, s),
-                padding=((pad, pad), (pad, pad)),
-                dimension_numbers=("NCHW" if self.planar_in else "NHWC",
-                                   "HWIO", "NHWC"),
-            )
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(s, s),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NCHW" if self.planar_in else "NHWC",
+                               "HWIO", "NHWC"),
+        )
         if self.use_bias:
             bias = self.param("bias", binit, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
@@ -131,27 +119,18 @@ class ConvTranspose(nn.Module):
         dtype = self.dtype or x.dtype
         pad_lo = k - 1 - p
         pad_hi = k - 1 - p + op
-        if (k, s, p, op) == (3, 2, 1, 1) and self.features <= 32:
-            # Depth-to-space reformulation: exact same math as the dilated
-            # conv below, without the lhs-dilation lowering
-            # (see ops/spaceconv.py). planar_out folds into the d2s shuffle.
-            # Gated on out_ch <= 32 (4*Co must fit the 128-lane tile;
-            # measured losses for the 256-out deconv, devtools/exp_spaceconv).
-            y = convt3x3_s2(x.astype(dtype), kernel.astype(dtype),
-                            planar_out=self.planar_out)
-        else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(dtype),
-                kernel.astype(dtype),
-                window_strides=(1, 1),
-                padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
-                lhs_dilation=(s, s),
-                # planar_out emits (B, C, H, W) directly — the propagation
-                # loop consumes planar affinities, and a post-hoc moveaxis
-                # would materialize a full-res transpose copy per iteration.
-                dimension_numbers=("NHWC", "HWIO",
-                                   "NCHW" if self.planar_out else "NHWC"),
-            )
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(s, s),
+            # planar_out emits (B, C, H, W) directly — the propagation loop
+            # consumes planar affinities, and a post-hoc moveaxis would
+            # materialize a full-res transpose copy every iteration.
+            dimension_numbers=("NHWC", "HWIO",
+                               "NCHW" if self.planar_out else "NHWC"),
+        )
         if self.use_bias:
             bias = self.param("bias", binit, (self.features,), jnp.float32)
             b = bias.astype(dtype)

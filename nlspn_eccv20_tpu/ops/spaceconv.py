@@ -1,12 +1,19 @@
-"""Space-to-depth reformulation of stride-2 convolutions.
+"""Space-to-depth reformulation of stride-2 convolutions (op library).
 
-TPU-native replacement for the strided small-channel (de)convolutions that
-dominate the GRU-refresh loop (reference nlspnmodel.py:127-144,365-373).
+Exact algebraic regrouping of strided small-channel (de)convolutions
+(e.g. the GRU-refresh subnets, reference nlspnmodel.py:127-144,365-373):
 XLA lowers a stride-2 conv (and, worse, its input-dilated transpose /
 gradient) over few-channel tensors onto the MXU with both the channel
-dimension padded to 128 lanes and the stride handled by dilation — device
-profiling showed e.g. the 16->8 transposed conv of ``decode_aff`` costing
-17.8 ms/step for ~1 GFLOP of real work (>1000x off roofline).
+dimension padded to 128 lanes and the stride handled by dilation.
+
+STATUS — measured, not wired into the model: isolated-shape timings favor
+this reformulation, but a full-model A/B on TPU v5e (devtools/ab_model_time.py,
+device-trace medians, bit-repeatable) showed it is a net LOSS in context:
+fp32 train step 223.7 vs 219.5 ms, b=1 inference 5.70 vs 5.11 ms, bf16
+train ~neutral (148.7 vs 149.1 ms) — the s2d/d2s shuffles and apply-time
+kernel reassembly cost more than the dilation-free lowering saves once XLA
+fuses the surrounding ops. Kept in the op library (correct, tested in
+tests/test_spaceconv.py) for shapes/models where the tradeoff flips.
 
 The reformulation is an exact algebraic regrouping (same multiplies, same
 adds per output element):

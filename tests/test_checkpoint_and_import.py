@@ -78,6 +78,31 @@ class TestCheckpoint:
             check_args(Config(resume=True).finalize())
 
 
+class TestConfigValidation:
+    # The reference fails lazily at forward time (nlspnmodel.py:29-30,199);
+    # Config rejects bad values at construction instead.
+    @pytest.mark.parametrize("bad", [
+        dict(prop_kernel=4), dict(prop_kernel=-3),
+        dict(affinity="BOGUS"),
+        dict(prop_time=-1),
+        dict(num_sample=-5),
+        dict(batch_size=0),
+        dict(optimizer="LION"),
+        dict(network="resnet50"),
+        dict(precision="fp16"),
+        dict(prop_impl="cuda"),
+        dict(prop_loop="while"),
+    ])
+    def test_bad_values_rejected_at_construction(self, bad):
+        with pytest.raises(ValueError):
+            Config(**bad)
+
+    def test_replace_revalidates(self):
+        cfg = Config()
+        with pytest.raises(ValueError):
+            cfg.replace(affinity="BOGUS")
+
+
 class TestTorchImport:
     def test_resnet18_roundtrip(self, tmp_path):
         torch = pytest.importorskip("torch")

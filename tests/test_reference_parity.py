@@ -9,11 +9,14 @@ insertion), confidence weighting, input preservation, and the GRU-refreshed
 propagation loop — not just individual ops.
 
 The reference's hard CUDA dependency (``import DCN``) and its torchvision
-dependency are satisfied with stubs: the default config never calls DCN
-(--offset False routes through the shift-and-stack path, nlspnmodel.py:210-224)
-and ``from_scratch`` skips pretrained loading, so only torchvision's
-layer1-3 *structure* is needed (BasicBlock stages, mirrored below from the
-standard torchvision layout that reference common.py:27-42 consumes).
+dependency are satisfied with stubs: the non-local --offset path gets a
+pure-torch reimplementation of ``DCN.modulated_deform_conv_forward`` with
+the CUDA kernel's exact sampling semantics (zero outside (-1, size),
+per-corner bilinear validity; modulated_deform_im2col_cuda.cuh:24-54,
+127-194), and ``from_scratch`` skips pretrained loading, so only
+torchvision's layer1-3 *structure* is needed (BasicBlock stages, mirrored
+below from the standard torchvision layout that reference common.py:27-42
+consumes).
 
 Skipped when /root/reference is not present.
 """
@@ -76,9 +79,67 @@ class _ResNet(nn.Module):
         self.layer3 = _stage(128, 256, blocks[2], 2)
 
 
+def _mdcn_forward_torch(input, weight, bias, offset, mask,
+                        kh, kw, sh, sw, ph, pw, dh, dw,
+                        groups, deformable_groups, im2col_step):
+    """Pure-torch DCNv2 forward with the CUDA kernel's exact semantics
+    (modulated_deformable_im2col_gpu_kernel + mdmcn_im2col_bilinear,
+    modulated_deform_im2col_cuda.cuh:24-54,127-194): offset channels
+    2*(i*kw+j) / +1 are the (h, w) offsets of tap (i, j); samples with
+    h_im/w_im outside (-1, size) contribute zero; bilinear corners are
+    individually bounds-checked."""
+    B, C, H, W = input.shape
+    Cout = weight.shape[0]
+    Ho = (H + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
+    Wo = (W + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
+    cpg = C // deformable_groups
+    hs = (torch.arange(Ho, dtype=input.dtype) * sh - ph).view(1, Ho, 1)
+    ws = (torch.arange(Wo, dtype=input.dtype) * sw - pw).view(1, 1, Wo)
+
+    def bilinear(x, h_im, w_im):
+        # x: (B, cpg, H, W); h_im/w_im: (B, Ho, Wo) -> (B, cpg, Ho, Wo)
+        h0, w0 = h_im.floor(), w_im.floor()
+        lh, lw = h_im - h0, w_im - w0
+        xf = x.flatten(2)
+
+        def corner(hc, wc, wgt):
+            valid = (hc >= 0) & (hc <= H - 1) & (wc >= 0) & (wc <= W - 1)
+            hi = hc.clamp(0, H - 1).long()
+            wi = wc.clamp(0, W - 1).long()
+            idx = (hi * W + wi).flatten(1).unsqueeze(1).expand(-1, x.shape[1], -1)
+            v = xf.gather(2, idx).view(B, x.shape[1], Ho, Wo)
+            return v * (valid.to(x.dtype) * wgt).unsqueeze(1)
+
+        return (corner(h0, w0, (1 - lh) * (1 - lw))
+                + corner(h0, w0 + 1, (1 - lh) * lw)
+                + corner(h0 + 1, w0, lh * (1 - lw))
+                + corner(h0 + 1, w0 + 1, lh * lw))
+
+    cols = input.new_zeros(B, C, kh * kw, Ho, Wo)
+    for g in range(deformable_groups):
+        off_g = offset[:, g * 2 * kh * kw:(g + 1) * 2 * kh * kw]
+        mask_g = mask[:, g * kh * kw:(g + 1) * kh * kw]
+        x = input[:, g * cpg:(g + 1) * cpg]
+        for t in range(kh * kw):
+            i, j = divmod(t, kw)
+            h_im = hs + i * dh + off_g[:, 2 * t]
+            w_im = ws + j * dw + off_g[:, 2 * t + 1]
+            inside = ((h_im > -1) & (w_im > -1)
+                      & (h_im < H) & (w_im < W)).to(input.dtype)
+            val = bilinear(x, h_im, w_im) * inside.unsqueeze(1)
+            cols[:, g * cpg:(g + 1) * cpg, t] = val * mask_g[:, t].unsqueeze(1)
+
+    wg = weight.view(groups, Cout // groups, C // groups, kh * kw)
+    cg = cols.view(B, groups, C // groups, kh * kw, Ho * Wo)
+    out = torch.einsum("goit,bgitp->bgop", wg, cg).reshape(B, Cout, Ho, Wo)
+    return out + bias.view(1, -1, 1, 1)
+
+
 def _install_stubs():
     if "DCN" not in sys.modules:
-        sys.modules["DCN"] = types.ModuleType("DCN")
+        dcn = types.ModuleType("DCN")
+        dcn.modulated_deform_conv_forward = _mdcn_forward_torch
+        sys.modules["DCN"] = dcn
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         models = types.ModuleType("torchvision.models")
@@ -178,6 +239,9 @@ def _nchw(x):
     {},  # full fork defaults: S2D + GRU + conf + preserve, TGASS
     {"use_GRU": False, "use_S2D": False, "affinity": "ASS",
      "conf_prop": False, "preserve_input": False, "always_clip": True},
+    # non-local path: learned offsets, deformable bilinear gather (the
+    # reference routes this through DCNv2; here the pure-torch stub above)
+    {"offset": True},
 ])
 def test_forward_parity(kw):
     a = _args(**kw)
