@@ -150,7 +150,9 @@ def main():
     import jax
 
     from nlspn_eccv20_tpu.config import Config
+    from nlspn_eccv20_tpu.utils.compile_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     _eprint(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     cfg = Config(patch_height=228, patch_width=304, batch_size=12,

@@ -104,6 +104,10 @@ class Config:
     profile: bool = False
     profile_dir: str = ""
 
+    # ----- Compilation cache (utils/compile_cache.py) -----
+    compile_cache: bool = True
+    compile_cache_dir: str = ""              # "" => ~/.cache/nlspn_eccv20_tpu/xla
+
     # ------------------------------------------------------------------
     def __post_init__(self):
         """Validate invariants at construction (the reference fails lazily at
@@ -270,6 +274,10 @@ def build_parser() -> argparse.ArgumentParser:
     # Profiling
     p.add_argument("--profile", action="store_true", default=False)
     p.add_argument("--profile_dir", type=str, default="")
+    # Compilation cache
+    _add_bool_flag(p, "compile_cache", d.compile_cache,
+                   "persistent XLA compilation cache (skip recompiles)")
+    p.add_argument("--compile_cache_dir", type=str, default=d.compile_cache_dir)
     return p
 
 

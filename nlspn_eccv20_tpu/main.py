@@ -203,6 +203,10 @@ def test(cfg: Config, state: TrainState = None, engine: Engine = None):
 
 
 def main(cfg: Config):
+    if cfg.compile_cache:
+        from nlspn_eccv20_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(cfg.compile_cache_dir)
     maybe_initialize_distributed(cfg)
     np.random.seed(cfg.seed)
     if not cfg.test_only:

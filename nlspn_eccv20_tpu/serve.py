@@ -41,6 +41,12 @@ class Predictor:
 
     def __init__(self, cfg: Config, variables=None,
                  checkpoint: Optional[str] = None, bucket: int = 32):
+        if cfg.compile_cache:
+            from nlspn_eccv20_tpu.utils.compile_cache import (
+                enable_compilation_cache,
+            )
+
+            enable_compilation_cache(cfg.compile_cache_dir)
         self.cfg = cfg
         self.bucket = bucket
         self.model = get_model(cfg)
@@ -59,7 +65,12 @@ class Predictor:
         w = _round_up(self.cfg.patch_width, self.bucket)
         sample = {"rgb": jnp.zeros((1, h, w, 3), jnp.float32),
                   "dep": jnp.zeros((1, h, w, 1), jnp.float32)}
-        variables = self.model.init(jax.random.PRNGKey(0), sample, train=False)
+        # jit: one compiled (and persistently cacheable) program instead of
+        # hundreds of eager op-by-op compiles (see utils/compile_cache.py).
+        import functools
+
+        variables = jax.jit(functools.partial(self.model.init, train=False))(
+            jax.random.PRNGKey(0), sample)
         if os.path.isfile(src) and src.endswith((".pt", ".pth", ".tar")):
             from nlspn_eccv20_tpu.utils.torch_import import (
                 load_nlspn_torch_checkpoint,

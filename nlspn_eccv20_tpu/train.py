@@ -16,6 +16,7 @@ the optax schedule (utils/optim.py), so the whole step stays jit-compiled.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -65,8 +66,11 @@ class Engine:
             "rgb": jnp.zeros((1, h, w, 3), jnp.float32),
             "dep": jnp.zeros((1, h, w, 1), jnp.float32),
         }
-        variables = self.model.init(jax.random.PRNGKey(self.cfg.seed), dummy,
-                                    train=False)
+        # Under jit: eager init compiles each primitive op-by-op (~540 tiny
+        # XLA programs, minutes of startup on a TPU attachment); one traced
+        # program compiles in seconds and is persistently cacheable.
+        variables = jax.jit(partial(self.model.init, train=False))(
+            jax.random.PRNGKey(self.cfg.seed), dummy)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         state = TrainState(
