@@ -16,7 +16,6 @@ the optax schedule (utils/optim.py), so the whole step stays jit-compiled.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -66,19 +65,21 @@ class Engine:
             "rgb": jnp.zeros((1, h, w, 3), jnp.float32),
             "dep": jnp.zeros((1, h, w, 1), jnp.float32),
         }
-        # Under jit: eager init compiles each primitive op-by-op (~540 tiny
-        # XLA programs, minutes of startup on a TPU attachment); one traced
-        # program compiles in seconds and is persistently cacheable.
-        variables = jax.jit(partial(self.model.init, train=False))(
-            jax.random.PRNGKey(self.cfg.seed), dummy)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
-        )
+        # Under ONE jit: eager init compiles each primitive op-by-op (~600
+        # tiny XLA programs — model init plus a jnp.zeros per param from
+        # optax init — minutes of dispatch on a remote TPU attachment); one
+        # traced program compiles in seconds and is persistently cacheable.
+        def make_state(key):
+            variables = self.model.init(key, dummy, train=False)
+            params = variables["params"]
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=self.tx.init(params),
+            )
+
+        state = jax.jit(make_state)(jax.random.PRNGKey(self.cfg.seed))
         return replicate(self.mesh, state)
 
     # ---- steps ----
