@@ -22,7 +22,7 @@ from collections import defaultdict
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--precision", default="fp32")
+    ap.add_argument("--precision", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--height", type=int, default=228)

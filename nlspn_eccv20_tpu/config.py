@@ -99,6 +99,7 @@ class Config:
     offset: bool = False                     # non-local (deformable-gather) path
     prop_impl: str = "auto"                  # auto | xla | pallas — propagation backend
     prop_loop: str = "unroll"                # unroll | scan — propagation loop codegen
+    fused_kernels: str = "auto"              # auto | on | off — fused Pallas chain kernels
 
     # ----- Profiling -----
     profile: bool = False
@@ -132,6 +133,8 @@ class Config:
             raise ValueError(f"unknown prop_impl {self.prop_impl!r}")
         if self.prop_loop not in ("unroll", "scan"):
             raise ValueError(f"unknown prop_loop {self.prop_loop!r}")
+        if self.fused_kernels not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fused_kernels {self.fused_kernels!r}")
 
     @property
     def num_neighbors(self) -> int:
@@ -270,6 +273,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "xla", "pallas"))
     p.add_argument("--prop_loop", type=str, default=d.prop_loop,
                    choices=("unroll", "scan"))
+    p.add_argument("--fused_kernels", type=str, default=d.fused_kernels,
+                   choices=("auto", "on", "off"))
 
     # Profiling
     p.add_argument("--profile", action="store_true", default=False)

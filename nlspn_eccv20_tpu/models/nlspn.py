@@ -173,11 +173,62 @@ class EncodeDep(nn.Module):
         return ConvBNReLU(c, 3, 2, bn=False, dtype=self.dtype, name="conv2")(x, train)
 
 
+class _ConvTParams(nn.Module):
+    """Declare ConvTranspose-compatible params (same names/shapes/inits as
+    models.common.ConvTranspose) without running the conv — lets the fused
+    Pallas path share one param tree with the module path, so checkpoints
+    interchange and prop_loop/fused_kernels variants stay compatible."""
+
+    features: int
+    in_features: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        from nlspn_eccv20_tpu.models.common import (
+            torch_bias_init, torch_conv_kernel_init)
+
+        fan_in = self.features * 9
+        kinit = (nn.initializers.zeros if self.zero_init
+                 else torch_conv_kernel_init)
+        binit = (nn.initializers.zeros if self.zero_init
+                 else torch_bias_init(fan_in))
+        kernel = self.param("kernel", kinit,
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", binit, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _ConvTScope(nn.Module):
+    """Scope shim mirroring ConvTBNReLU's child naming (<name>/conv/...)."""
+
+    features: int
+    in_features: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        return _ConvTParams(self.features, self.in_features,
+                            zero_init=self.zero_init, name="conv")()
+
+
+def use_fused_kernels(cfg: Config) -> bool:
+    """Resolve cfg.fused_kernels: 'auto' enables the fused Pallas chain
+    kernels on TPU (off-TPU the ops fall back to the identical pure-JAX
+    composition, so 'auto' is safe everywhere)."""
+    return cfg.fused_kernels in ("auto", "on")
+
+
 class DecodeAff(nn.Module):
     """GRU hidden state -> raw neighbor affinities at 1/1 (reference :140-144).
 
-    The last deconv emits PLANAR (B, num_neighbors, H, W) directly (the
-    loop's affinity layout) via the conv's output dimension_numbers.
+    The deconv1+deconv2 tail (16 and num_neighbors channels — tensors whose
+    NHWC layouts pad 8-16x on TPU) runs as ONE fused Pallas kernel
+    (ops/pallas/dec_aff_tail.py): phase-decomposed MXU matmuls with the
+    16-channel intermediate resident in VMEM, emitting the loop's PLANAR
+    (B, num_neighbors, H, W) affinity layout directly. The module path
+    (fused_kernels='off') computes the identical math with stock convs.
     """
 
     cfg: Config
@@ -188,6 +239,15 @@ class DecodeAff(nn.Module):
         c = self.cfg.GRU_hidden_dim
         x = ConvTBNReLU(2 * c, 3, 2, 1, 1, bn=False, dtype=self.dtype,
                         name="deconv0")(x, train)
+        if use_fused_kernels(self.cfg):
+            from nlspn_eccv20_tpu.ops.pallas.dec_aff_tail import (
+                decode_aff_tail)
+
+            w1, b1 = _ConvTScope(16, 2 * c, name="deconv1")()
+            w2, b2 = _ConvTScope(self.cfg.num_neighbors, 16,
+                                 zero_init=self.cfg.zero_init_aff,
+                                 name="deconv2")()
+            return decode_aff_tail(x, w1, b1, w2, b2)
         x = ConvTBNReLU(16, 3, 2, 1, 1, bn=False, dtype=self.dtype,
                         name="deconv1")(x, train)
         return ConvTBNReLU(self.cfg.num_neighbors, 3, 2, 1, 1, bn=False,
