@@ -153,12 +153,47 @@ class ConvGRU(nn.Module):
         return (1.0 - z) * h + z * q
 
 
+class _ConvParams(nn.Module):
+    """Declare Conv-compatible params (same names/shapes/inits as
+    models.common.Conv) without running the conv — fused-path twin of
+    _ConvTParams."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        from nlspn_eccv20_tpu.models.common import (
+            torch_bias_init, torch_conv_kernel_init)
+
+        fan_in = self.in_features * 9
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", torch_bias_init(fan_in),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _ConvScope(nn.Module):
+    """Scope shim mirroring ConvBNReLU's child naming (<name>/conv/...)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.features, self.in_features, name="conv")()
+
+
 class EncodeDep(nn.Module):
     """Depth -> GRU input feature at 1/8 (reference :134-138).
 
-    Takes the loop-carried depth as a PLANAR (B, 1, H, W) plane — the first
-    conv's dimension_numbers absorb the layout change, avoiding a
-    materialized full-res transpose per iteration.
+    Takes the loop-carried depth as a PLANAR (B, 1, H, W) plane. The
+    conv0(1->16)+conv1(16->2c) front — whose 1/16-channel tensors pad 8x+
+    in XLA's TPU layouts — runs as ONE fused Pallas kernel
+    (ops/pallas/dep_encode_front.py); conv2 (256ch, well-shaped) stays a
+    stock conv. The module path (fused_kernels='off') is identical math.
     """
 
     cfg: Config
@@ -167,10 +202,23 @@ class EncodeDep(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.cfg.GRU_input_dim
-        x = ConvBNReLU(16, 3, 2, bn=False, planar_in=True, dtype=self.dtype,
-                       name="conv0")(x, train)
-        x = ConvBNReLU(2 * c, 3, 2, bn=False, dtype=self.dtype, name="conv1")(x, train)
-        return ConvBNReLU(c, 3, 2, bn=False, dtype=self.dtype, name="conv2")(x, train)
+        h, w = x.shape[2], x.shape[3]
+        if use_fused_kernels(self.cfg) and h % 4 == 0 and w % 4 == 0:
+            from nlspn_eccv20_tpu.ops.pallas.dep_encode_front import (
+                dep_encode_front)
+
+            w0, b0 = _ConvScope(16, 1, name="conv0")()
+            w1, b1 = _ConvScope(2 * c, 16, name="conv1")()
+            dt = self.dtype or x.dtype
+            y = dep_encode_front(x[:, 0].astype(jnp.float32),
+                                 w0, b0, w1, b1, dt)
+        else:
+            y = ConvBNReLU(16, 3, 2, bn=False, planar_in=True,
+                           dtype=self.dtype, name="conv0")(x, train)
+            y = ConvBNReLU(2 * c, 3, 2, bn=False, dtype=self.dtype,
+                           name="conv1")(y, train)
+        return ConvBNReLU(c, 3, 2, bn=False, dtype=self.dtype,
+                          name="conv2")(y, train)
 
 
 class _ConvTParams(nn.Module):
@@ -335,21 +383,25 @@ class Heads(nn.Module):
             c0 += n_out
 
         dt = self.dtype or y.dtype
+        bias_cat = jnp.concatenate(biases)
+        # NOTE on alternatives, both measured SLOWER than XLA's direct conv:
+        # a tap-major 1x1-conv + shifted-add decomposition (+2.6 ms/step
+        # bf16 — the 9*total-channel intermediate's HBM traffic exceeds the
+        # MXU savings), and the Pallas small_conv3x3_planar kernel
+        # (ops/pallas/small_conv3x3.py: +1.5 ms fp32 / +15 ms bf16 in-model
+        # — the 9-tap fold is VPU-pass-bound at full resolution and XLA's
+        # conv already overlaps it with the surrounding step).
         x2 = jnp.concatenate([y, fe1.astype(y.dtype)], axis=-1)
-        # NOTE: a tap-major 1x1-conv + shifted-add decomposition of this
-        # small-output conv (lane-packing the MXU) was tried and measured
-        # SLOWER (+2.6 ms/step bf16) — the 9*total-channel intermediate's
-        # HBM traffic exceeds the MXU savings. XLA's direct conv stays.
         y2 = jax.lax.conv_general_dilated(
             x2.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + jnp.concatenate(biases).astype(dt)
+        ) + bias_cat.astype(dt)
+        y2p = jnp.moveaxis(y2, -1, 1).astype(jnp.float32)
 
-        pred_init = nn.relu(y2[..., :1]).astype(jnp.float32)
-        off_aff = y2[..., 1:1 + n_off_aff].astype(jnp.float32)
-        confidence = (nn.sigmoid(y2[..., 1 + n_off_aff:]).astype(jnp.float32)
-                      if cfg.conf_prop else None)
-        return pred_init, off_aff, confidence
+        pred_init_p = nn.relu(y2p[:, 0])                      # (B, H, W)
+        off_aff_p = y2p[:, 1:1 + n_off_aff]                   # planar
+        conf_p = nn.sigmoid(y2p[:, 1 + n_off_aff]) if cfg.conf_prop else None
+        return pred_init_p, off_aff_p, conf_p
 
 
 def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off):
@@ -476,16 +528,17 @@ class NLSPNModel(nn.Module):
             concat_trim(fd3, fe3), train)
 
         # ---- Heads (reference :296-315), fused: see Heads docstring ----
-        pred_init, off_aff, confidence = Heads(cfg, dtype=dt, name="heads")(
+        # Heads returns PLANAR tensors (the loop's layout).
+        pred_init_p, off_aff_p, conf_p = Heads(cfg, dtype=dt, name="heads")(
             concat_trim(fd2, fe2), fe1, train)
 
         if cfg.offset:
-            off_raw = off_aff[..., :2 * nn_]
-            aff_raw = off_aff[..., 2 * nn_:]
+            off_raw = jnp.moveaxis(off_aff_p[:, :2 * nn_], 1, -1)
+            aff_raw_p = off_aff_p[:, 2 * nn_:]
             off = insert_center_offset(off_raw)
         else:
             off = None
-            aff_raw = off_aff
+            aff_raw_p = off_aff_p
 
         # ---- Affinity normalization (reference :179-201,323-325) ----
         gamma_init = {
@@ -499,20 +552,18 @@ class NLSPNModel(nn.Module):
             # frozen for AS/ASS/TC (reference :95-102)
             gamma = jax.lax.stop_gradient(gamma)
         # Planar loop state from here on (see _prop_and_blend layout note).
-        aff_p = normalize_affinity_planar(jnp.moveaxis(aff_raw, -1, 1),
-                                          gamma, cfg.affinity)
+        aff_p = normalize_affinity_planar(aff_raw_p, gamma, cfg.affinity)
         dep_p = dep[..., 0]
 
         # ---- Input preservation setup (reference :328-334) ----
-        conf_p = confidence[..., 0] if confidence is not None else None
         if cfg.preserve_input:
             mask_fix = jax.lax.stop_gradient((dep_p > 0.0).astype(jnp.float32))
             if conf_p is not None:
                 conf_p = (1.0 - mask_fix) * conf_p + mask_fix
-                confidence = conf_p[..., None]
+        confidence = conf_p[..., None] if conf_p is not None else None
 
         # ---- Pre-loop blend/clip for k == 1 (reference :342-348) ----
-        new_pred = pred_init[..., 0]
+        new_pred = pred_init_p
         if cfg.preserve_input:
             new_pred = (1.0 - mask_fix) * new_pred + mask_fix * dep_p
         if cfg.always_clip:
@@ -573,7 +624,7 @@ class NLSPNModel(nn.Module):
 
         return {
             "pred": new_pred[..., None],
-            "pred_init": pred_init,
+            "pred_init": pred_init_p[..., None],
             "pred_inter": [p[..., None] for p in inter],
             "offset": off,
             "aff": jnp.moveaxis(carry["aff"], 1, -1),

@@ -34,8 +34,12 @@ def test_heads_match_unfused_reference(conf_prop, offset):
 
     heads = Heads(cfg)
     variables = heads.init(jax.random.PRNGKey(3), fd2fe2, fe1, train=False)
-    pred_init, off_aff, confidence = heads.apply(
+    # Heads returns PLANAR tensors (the propagation loop's layout)
+    pred_init_p, off_aff_p, conf_p = heads.apply(
         variables, fd2fe2, fe1, train=False)
+    pred_init = pred_init_p[..., None]
+    off_aff = jnp.moveaxis(off_aff_p, 1, -1)
+    confidence = conf_p[..., None] if conf_p is not None else None
 
     p = variables["params"]
     n_off = 3 * cfg.num_neighbors if offset else cfg.num_neighbors
