@@ -36,6 +36,7 @@ class Config:
     num_threads: int = 4                     # input-pipeline worker threads
     platform: Optional[str] = None           # force jax platform (cpu/tpu)
     num_data_shards: int = 0                 # 0 => all visible devices on data axis
+    num_spatial_shards: int = 1              # >1 => shard image WIDTH over a 'space' mesh axis
 
     # ----- Network -----
     model_name: str = "NLSPN"
@@ -135,6 +136,22 @@ class Config:
             raise ValueError(f"unknown prop_loop {self.prop_loop!r}")
         if self.fused_kernels not in ("auto", "on", "off"):
             raise ValueError(f"unknown fused_kernels {self.fused_kernels!r}")
+        if self.num_spatial_shards < 1:
+            raise ValueError(
+                f"num_spatial_shards must be >= 1, got {self.num_spatial_shards}")
+        if self.num_spatial_shards > 1:
+            # Pallas kernels are opaque custom calls to the SPMD partitioner
+            # (they would force a full re-gather of their operands); under
+            # spatial sharding the model must stay on XLA ops, whose
+            # partitioner inserts proper halo exchanges.
+            if self.fused_kernels == "on":
+                raise ValueError(
+                    "fused_kernels='on' is incompatible with spatial "
+                    "sharding (num_spatial_shards > 1); use 'auto' or 'off'")
+            if self.prop_impl == "pallas":
+                raise ValueError(
+                    "prop_impl='pallas' is incompatible with spatial "
+                    "sharding (num_spatial_shards > 1); use 'auto' or 'xla'")
 
     @property
     def num_neighbors(self) -> int:
@@ -208,6 +225,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_threads", type=int, default=d.num_threads)
     p.add_argument("--platform", type=str, default=d.platform)
     p.add_argument("--num_data_shards", type=int, default=d.num_data_shards)
+    p.add_argument("--num_spatial_shards", type=int, default=d.num_spatial_shards,
+                   help="shard image width over a 'space' mesh axis (halo "
+                        "exchange inserted by the XLA SPMD partitioner)")
 
     # Network
     p.add_argument("--model_name", type=str, default=d.model_name, choices=("NLSPN",))

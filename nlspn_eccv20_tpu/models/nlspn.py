@@ -264,7 +264,11 @@ class _ConvTScope(nn.Module):
 def use_fused_kernels(cfg: Config) -> bool:
     """Resolve cfg.fused_kernels: 'auto' enables the fused Pallas chain
     kernels on TPU (off-TPU the ops fall back to the identical pure-JAX
-    composition, so 'auto' is safe everywhere)."""
+    composition, so 'auto' is safe everywhere). Under spatial sharding
+    Pallas custom calls would block the SPMD partitioner, so 'auto'
+    resolves to off ('on' is rejected at config validation)."""
+    if cfg.num_spatial_shards > 1:
+        return False
     return cfg.fused_kernels in ("auto", "on")
 
 

@@ -12,6 +12,16 @@ Multi-host: call ``jax.distributed.initialize()`` before anything else
 (replaces the reference's MASTER_ADDR/PORT process-group rendezvous,
 main.py:20-22,83-84); every host runs the same program and feeds its own
 shard of the global batch via ``make_array_from_process_local_data``.
+
+Beyond the reference's DP, the mesh optionally carries a second SPATIAL
+axis ('space'): activations are sharded along image WIDTH and XLA's SPMD
+partitioner inserts the halo exchanges every convolution/stencil needs at
+shard boundaries. This is the natural model-parallel axis for a 2-D CNN
+(the survey's "spatial sharding of HxW with halo exchange", SURVEY.md
+section 5) and lets one wide KITTI image (240x1216) spread over chips when
+per-chip batch 1 is still memory- or latency-bound. There is no sequence
+dimension in this model, so sp-over-width plays the role sequence/context
+parallelism plays in transformers.
 """
 
 from __future__ import annotations
@@ -23,19 +33,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
-def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the visible devices."""
+def make_mesh(num_devices: int = 0, devices=None,
+              num_spatial: int = 1) -> Mesh:
+    """Device mesh: 1-D ('data',) or, with ``num_spatial > 1``, 2-D
+    ('data', 'space') — data-parallel replicas x width shards."""
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
-        devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+        devices = devices[: num_devices * max(num_spatial, 1)]
+    devices = np.asarray(devices)
+    if num_spatial and num_spatial > 1:
+        if devices.size % num_spatial:
+            raise ValueError(
+                f"{devices.size} devices not divisible by "
+                f"num_spatial_shards={num_spatial}")
+        return Mesh(devices.reshape(-1, num_spatial),
+                    (DATA_AXIS, SPACE_AXIS))
+    return Mesh(devices, (DATA_AXIS,))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Sharding for one batch array: batch axis over 'data'; for NHWC
+    image tensors (ndim >= 3) the W axis additionally over 'space' when
+    the mesh has one. Low-rank arrays (e.g. intrinsics K) shard on batch
+    only."""
+    if SPACE_AXIS in mesh.axis_names and ndim >= 4:
+        # NHWC: shard W (axis 2) over 'space'. Lower-rank arrays (e.g.
+        # camera intrinsics) shard on batch only.
+        return NamedSharding(mesh, P(DATA_AXIS, None, SPACE_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -46,17 +74,22 @@ def replicate(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
-    """Place a host-local numpy batch onto the mesh, sharded on axis 0.
+    """Place a host-local numpy batch onto the mesh: batch axis over
+    'data', image width additionally over 'space' on a 2-D mesh.
 
     Single-process: a plain device_put with the sharding. Multi-process:
     assembles the global array from per-host shards (each host passes only
     its local slice of the global batch).
     """
-    s = batch_sharding(mesh)
     if jax.process_count() == 1:
-        return jax.device_put(batch, s)
+        return {
+            k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+            for k, v in batch.items()
+        }
     return {
-        k: jax.make_array_from_process_local_data(s, v) for k, v in batch.items()
+        k: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(v)), v)
+        for k, v in batch.items()
     }
 
 

@@ -47,13 +47,15 @@ class Engine:
         self.model = get_model(cfg)
         self.loss_fn = get_loss(cfg)
         n = cfg.num_data_shards
+        s = cfg.num_spatial_shards
         if n == 0:
             # auto: the largest device count that divides the global batch
+            # (leaving room for the spatial axis when one is requested)
             import jax as _jax
 
-            avail = len(_jax.devices())
+            avail = len(_jax.devices()) // max(s, 1)
             n = max(k for k in range(1, avail + 1) if cfg.batch_size % k == 0)
-        self.mesh = make_mesh(n)
+        self.mesh = make_mesh(n, num_spatial=s)
         self.tx, self.lr_schedule = make_optimizer(cfg, max(steps_per_epoch, 1))
         self._train_step = None
         self._eval_step = None

@@ -49,7 +49,10 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
         tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1],
                         eps=cfg.epsilon)
     elif cfg.optimizer == "RMSprop":
-        tx = optax.rmsprop(schedule, eps=cfg.epsilon)
+        # torch.optim.RMSprop semantics (reference utility.py:67-69):
+        # alpha=0.99, eps added OUTSIDE the sqrt, no momentum.
+        tx = optax.rmsprop(schedule, decay=0.99, eps=cfg.epsilon,
+                           eps_in_sqrt=False)
     else:
         raise NotImplementedError(cfg.optimizer)
     if cfg.weight_decay > 0:
