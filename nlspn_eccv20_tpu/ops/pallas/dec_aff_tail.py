@@ -570,21 +570,14 @@ def _bwd_pallas(x, w1, b1, w2, b2, g):
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
-def decode_aff_tail(x, w1, b1, w2, b2):
-    """Fused deconv1+ReLU+deconv2 (both ConvTranspose k3/s2/p1/op1).
-
-    x: (B, Hg, Wg, C) NHWC; w1: (3, 3, C, M) pre-flipped; b1: (M,);
-    w2: (3, 3, M, K) pre-flipped; b2: (K,). Returns planar
-    (B, K, 4Hg, 4Wg). Weights/biases are f32 params; compute runs in
-    x.dtype with f32 MXU accumulation.
-    """
+def _decode_aff_tail_core(x, w1, b1, w2, b2):
     if not _use_pallas():
         return decode_aff_tail_reference(x, w1, b1, w2, b2)
     return _fwd_pallas(x, w1, b1, w2, b2)
 
 
 def _vjp_fwd(x, w1, b1, w2, b2):
-    return decode_aff_tail(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+    return _decode_aff_tail_core(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
 
 
 def _vjp_bwd(res, g):
@@ -595,4 +588,24 @@ def _vjp_bwd(res, g):
     return _bwd_pallas(x, w1, b1, w2, b2, g)
 
 
-decode_aff_tail.defvjp(_vjp_fwd, _vjp_bwd)
+_decode_aff_tail_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def decode_aff_tail(x, w1, b1, w2, b2):
+    """Fused deconv1+ReLU+deconv2 (both ConvTranspose k3/s2/p1/op1).
+
+    x: (B, Hg, Wg, C) NHWC; w1: (3, 3, C, M) pre-flipped; b1: (M,);
+    w2: (3, 3, M, K) pre-flipped; b2: (K,). Returns planar
+    (B, K, 4Hg, 4Wg). Weights/biases are f32 params; compute runs in
+    x.dtype with f32 MXU accumulation.
+
+    Under an ambient data mesh the kernel self-partitions over the batch
+    (ops/pallas/shard.py) — without this GSPMD would all-gather and
+    replicate the custom call on every device.
+    """
+    if not _use_pallas():
+        return _decode_aff_tail_core(x, w1, b1, w2, b2)
+    from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
+
+    return shard_over_data(_decode_aff_tail_core, (x, w1, b1, w2, b2),
+                           (True, False, False, False, False))

@@ -483,12 +483,7 @@ def _bwd_pallas(xplane, w0, b0, w1, b1, dt, g):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def dep_encode_front(xplane, w0, b0, w1, b1, dt=jnp.float32):
-    """Fused conv0+ReLU+conv1+ReLU (both Conv k3/s2/p1).
-
-    xplane: (B, H, W) depth plane (H, W multiples of 4); w0: (3, 3, 1, M);
-    w1: (3, 3, M, C1). Returns NHWC (B, H/4, W/4, C1) in dtype ``dt``.
-    """
+def _dep_encode_front_core(xplane, w0, b0, w1, b1, dt=jnp.float32):
     if not _use_pallas() or _too_serial(xplane.shape):
         return dep_encode_front_reference(
             xplane.astype(dt), w0, b0, w1, b1)
@@ -496,7 +491,7 @@ def dep_encode_front(xplane, w0, b0, w1, b1, dt=jnp.float32):
 
 
 def _vjp_fwd(xplane, w0, b0, w1, b1, dt):
-    return dep_encode_front(xplane, w0, b0, w1, b1, dt), \
+    return _dep_encode_front_core(xplane, w0, b0, w1, b1, dt), \
         (xplane, w0, b0, w1, b1)
 
 
@@ -510,4 +505,23 @@ def _vjp_bwd(dt, res, g):
     return _bwd_pallas(xplane, w0, b0, w1, b1, dt, g)
 
 
-dep_encode_front.defvjp(_vjp_fwd, _vjp_bwd)
+_dep_encode_front_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def dep_encode_front(xplane, w0, b0, w1, b1, dt=jnp.float32):
+    """Fused conv0+ReLU+conv1+ReLU (both Conv k3/s2/p1).
+
+    xplane: (B, H, W) depth plane (H, W multiples of 4); w0: (3, 3, 1, M);
+    w1: (3, 3, M, C1). Returns NHWC (B, H/4, W/4, C1) in dtype ``dt``.
+
+    Under an ambient data mesh the kernel self-partitions over the batch
+    (ops/pallas/shard.py); the per-shard core re-checks ``_too_serial``
+    on its local batch and may fall back to the stock convs.
+    """
+    if not _use_pallas():
+        return _dep_encode_front_core(xplane, w0, b0, w1, b1, dt)
+    from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
+
+    return shard_over_data(
+        lambda x, a0, c0, a1, c1: _dep_encode_front_core(x, a0, c0, a1, c1, dt),
+        (xplane, w0, b0, w1, b1), (True, False, False, False, False))

@@ -155,6 +155,17 @@ def _stencil_bwd(kernel, has_conf, res, g):
 _stencil.defvjp(_stencil_fwd, _stencil_bwd)
 
 
+def _stencil_sharded(pred, conf, aff, kernel, has_conf):
+    """_stencil, self-partitioned over an ambient data mesh (see
+    ops/pallas/shard.py — GSPMD would otherwise all-gather the batch and
+    replicate the custom call on every device)."""
+    from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
+
+    return shard_over_data(
+        lambda p, c, a: _stencil(p, c, a, kernel, has_conf),
+        (pred, conf, aff), (True, True, True))
+
+
 # ---------------------------------------------------------------------------
 # Whole-loop kernel (constant affinity, i.e. use_GRU=False)
 # ---------------------------------------------------------------------------
@@ -249,10 +260,10 @@ def _pick_wtiles(h: int, w: int, k2: int, halo: int,
     return None
 
 
-def propagate_loop_pallas(pred, aff, conf=None, dep=None, *, steps: int,
-                          kernel: int = 3, preserve: bool = False,
-                          clip: bool = False, pre_blend: bool = False,
-                          vmem_budget: int = 48 * 2**20):
+def _propagate_loop_core(pred, aff, conf=None, dep=None, *, steps: int,
+                         kernel: int = 3, preserve: bool = False,
+                         clip: bool = False, pre_blend: bool = False,
+                         vmem_budget: int = 48 * 2**20):
     """Full K-step propagation loop with constant affinity, fused in VMEM.
 
     pred/conf/dep: (B, H, W, 1); aff: (B, H, W, K2). Returns (B, H, W, 1)
@@ -321,6 +332,30 @@ def propagate_loop_pallas(pred, aff, conf=None, dep=None, *, steps: int,
     return out[..., None]
 
 
+def propagate_loop_pallas(pred, aff, conf=None, dep=None, *, steps: int,
+                          kernel: int = 3, preserve: bool = False,
+                          clip: bool = False, pre_blend: bool = False,
+                          vmem_budget: int = 48 * 2**20):
+    """Whole-loop kernel (see _propagate_loop_core), self-partitioned over
+    an ambient data mesh (ops/pallas/shard.py)."""
+    from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
+
+    args, batched, labels = [pred, aff], [True, True], []
+    if conf is not None:
+        args.append(conf); batched.append(True); labels.append("conf")
+    if dep is not None:
+        args.append(dep); batched.append(True); labels.append("dep")
+
+    def core(p, a, *rest):
+        kw = dict(zip(labels, rest))
+        return _propagate_loop_core(
+            p, a, conf=kw.get("conf"), dep=kw.get("dep"), steps=steps,
+            kernel=kernel, preserve=preserve, clip=clip,
+            pre_blend=pre_blend, vmem_budget=vmem_budget)
+
+    return shard_over_data(core, tuple(args), tuple(batched))
+
+
 # ---------------------------------------------------------------------------
 # Public per-step API (used by the model)
 # ---------------------------------------------------------------------------
@@ -333,7 +368,7 @@ def propagate_local_pallas(feat: jnp.ndarray, aff: jnp.ndarray,
     """
     pred = feat[..., 0]
     aff_k_last = jnp.moveaxis(aff, -1, 1)
-    out = _stencil(pred, pred, aff_k_last, kernel, False)
+    out = _stencil_sharded(pred, pred, aff_k_last, kernel, False)
     return out[..., None]
 
 
@@ -348,7 +383,7 @@ def fused_prop_step_planar(pred: jnp.ndarray, aff: jnp.ndarray,
     """
     has_conf = conf is not None
     c = conf if has_conf else pred
-    out = _stencil(pred, c, aff, kernel, has_conf)
+    out = _stencil_sharded(pred, c, aff, kernel, has_conf)
     if preserve and dep is not None:
         m = (dep > 0.0).astype(out.dtype)
         out = (1.0 - m) * out + m * dep

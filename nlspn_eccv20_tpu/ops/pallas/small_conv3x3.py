@@ -387,20 +387,14 @@ def _bwd_pallas(xa, xb, w, b, g):
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
-def small_conv3x3_planar(xa, xb, w, b):
-    """3x3/s1 conv over concat(xa, xb) with few outputs, planar result.
-
-    xa: (B, H, W, Ca); xb: (B, H, W, Cb); w: (3, 3, Ca+Cb, K); b: (K,).
-    Returns (B, K, H, W) in xa.dtype. The channel concat never
-    materializes (the weight matrix splits row-wise).
-    """
+def _small_conv3x3_core(xa, xb, w, b):
     if not _use_pallas():
         return small_conv3x3_reference(xa, xb, w, b)
     return _fwd_pallas(xa, xb, w, b)
 
 
 def _vjp_fwd(xa, xb, w, b):
-    return small_conv3x3_planar(xa, xb, w, b), (xa, xb, w, b)
+    return _small_conv3x3_core(xa, xb, w, b), (xa, xb, w, b)
 
 
 def _vjp_bwd(res, g):
@@ -411,4 +405,22 @@ def _vjp_bwd(res, g):
     return _bwd_pallas(xa, xb, w, b, g)
 
 
-small_conv3x3_planar.defvjp(_vjp_fwd, _vjp_bwd)
+_small_conv3x3_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def small_conv3x3_planar(xa, xb, w, b):
+    """3x3/s1 conv over concat(xa, xb) with few outputs, planar result.
+
+    xa: (B, H, W, Ca); xb: (B, H, W, Cb); w: (3, 3, Ca+Cb, K); b: (K,).
+    Returns (B, K, H, W) in xa.dtype. The channel concat never
+    materializes (the weight matrix splits row-wise).
+
+    Under an ambient data mesh the kernel self-partitions over the batch
+    (ops/pallas/shard.py).
+    """
+    if not _use_pallas():
+        return _small_conv3x3_core(xa, xb, w, b)
+    from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
+
+    return shard_over_data(_small_conv3x3_core, (xa, xb, w, b),
+                           (True, True, False, False))

@@ -60,6 +60,34 @@ class Engine:
         self._train_step = None
         self._eval_step = None
 
+    def _under_mesh(self, fn):
+        """Run ``fn`` with this engine's mesh as the ambient mesh.
+
+        The Pallas chain kernels self-partition over the ambient data mesh
+        (ops/pallas/shard.py); without it GSPMD all-gathers their inputs
+        and replicates the custom calls on every device. Wrapping the
+        CALL (not the jit construction) puts tracing — where the ops look
+        the mesh up — under the context; executing compiled steps under it
+        is harmless.
+        """
+        import functools
+
+        from jax.sharding import set_mesh
+
+        mesh = self.mesh
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            with set_mesh(mesh):
+                return fn(*args, **kwargs)
+
+        def lower(*args, **kwargs):  # lowering traces too
+            with set_mesh(mesh):
+                return fn.lower(*args, **kwargs)
+
+        wrapped.lower = lower
+        return wrapped
+
     # ---- state ----
     def init_state(self, sample_shape: Tuple[int, int]) -> TrainState:
         h, w = sample_shape
@@ -112,7 +140,7 @@ class Engine:
                    "lr": self.lr_schedule(state.step)}
             return new_state, aux
 
-        self._train_step = jax.jit(step, donate_argnums=0)
+        self._train_step = self._under_mesh(jax.jit(step, donate_argnums=0))
         return self._train_step
 
     def eval_step_fn(self):
@@ -130,7 +158,7 @@ class Engine:
                     "metric": metric_evaluate(batch, out),
                     "output": out}
 
-        self._eval_step = jax.jit(step)
+        self._eval_step = self._under_mesh(jax.jit(step))
         return self._eval_step
 
     # ---- data placement ----
