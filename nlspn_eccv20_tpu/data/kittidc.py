@@ -76,6 +76,21 @@ class KITTIDC(BaseDataset):
         gt = T.to_pil_depth(read_depth_png(os.path.join(dd, entry["gt"])))
 
         path_calib = os.path.join(dd, entry["K"])
+        if not os.path.isfile(path_calib) and entry["K"].endswith(
+                "calib_cam_to_cam.txt"):
+            # Resolve either calib layout: inside the sequence dir
+            # (reference prepare_KITTI_DC.py:85-90) or at the date level
+            # (trees prepared by older versions of our prep tool). The
+            # sequence name starts with the 10-char date (2011_09_26_...).
+            parts = entry["rgb"].split(os.sep)
+            date = parts[1][:10] if len(parts) > 1 else ""
+            for alt in (os.path.join(parts[0], parts[1],
+                                     "calib_cam_to_cam.txt")
+                        if len(parts) > 1 else "",
+                        os.path.join(date, "calib_cam_to_cam.txt")):
+                if alt and os.path.isfile(os.path.join(dd, alt)):
+                    path_calib = os.path.join(dd, alt)
+                    break
         if self.mode in ("train", "val"):
             calib = read_calib_file(path_calib)
             if "image_02" in entry["rgb"]:

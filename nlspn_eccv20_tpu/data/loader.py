@@ -93,16 +93,30 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # Bounded put that never parks forever: if the consumer exited
+            # mid-epoch (stop set), give up instead of blocking — otherwise
+            # an abandoned iterator leaks its thread pool until process
+            # exit.
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for b in range(nb):
+                    if stop.is_set():
+                        return
                     lo = b * self.batch_size
                     hi = min(lo + self.batch_size, len(order))
                     samples = list(pool.map(load_one, range(lo, hi)))
-                    if stop.is_set():
+                    if not put_or_stop(_collate(samples)):
                         return
-                    out_q.put(_collate(samples))
-            out_q.put(None)
+            put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -114,12 +128,13 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
-            # drain so the producer can exit
+            # unblock a producer parked in put, then wait for it to exit
             while t.is_alive():
                 try:
                     out_q.get_nowait()
                 except queue.Empty:
-                    break
+                    pass
+                t.join(timeout=0.05)
 
 
 def _takes_rng(dataset) -> bool:

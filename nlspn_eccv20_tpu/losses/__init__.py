@@ -15,14 +15,19 @@ import jax.numpy as jnp
 T_VALID = 1e-4
 
 
+def _masked_mean_vec(err: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """(B,) per-sample mean over valid pixels (reference l1loss.py:33-41)."""
+    d = jnp.sum(err * mask, axis=(1, 2, 3))
+    num_valid = jnp.sum(mask, axis=(1, 2, 3))
+    return d / (num_valid + 1e-8)
+
+
 def _masked_per_sample_mean(err: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Per-sample mean over valid pixels, summed over the batch.
 
     Matches reference l1loss.py:33-41 / l2loss.py exactly.
     """
-    d = jnp.sum(err * mask, axis=(1, 2, 3))
-    num_valid = jnp.sum(mask, axis=(1, 2, 3))
-    return jnp.sum(d / (num_valid + 1e-8))
+    return jnp.sum(_masked_mean_vec(err, mask))
 
 
 def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray, max_depth: float) -> jnp.ndarray:
@@ -78,6 +83,22 @@ class LossFunction:
             total = total + v
         loss_val = jnp.stack(vals + [total])[None, :]
         return total, loss_val
+
+    def per_sample(self, sample, output) -> jnp.ndarray:
+        """(B, num_terms + 1) per-image weighted loss values. Summing a
+        column over the batch reproduces ``__call__``'s scalars; per-image
+        rows let a sharded eval batch drop padded entries exactly."""
+        pred = output["pred"]
+        gt = sample["gt"]
+        gt_c = jnp.clip(gt, 0.0, self.cfg.max_depth)
+        pred_c = jnp.clip(pred, 0.0, self.cfg.max_depth)
+        mask = (gt_c > T_VALID).astype(pred_c.dtype)
+        errs = {"L1": jnp.abs(pred_c - gt_c), "L2": (pred_c - gt_c) ** 2}
+        vals = []
+        for weight, name in self.terms:
+            vals.append(weight * _masked_mean_vec(errs[name], mask))
+        total = sum(vals)
+        return jnp.stack(vals + [total], axis=-1)
 
 
 def get_loss(cfg):

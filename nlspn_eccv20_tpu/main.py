@@ -34,15 +34,33 @@ from nlspn_eccv20_tpu.utils.backup import backup_source_code
 from nlspn_eccv20_tpu.utils.checkpoint import CheckpointManager
 
 
-def _loader(cfg: Config, dataset, mode: str) -> DataLoader:
+def _loader(cfg: Config, dataset, mode: str, batch_size: int = 1) -> DataLoader:
     nproc = jax.process_count()
     if mode == "train":
         per_host = max(cfg.batch_size // nproc, 1)
         return DataLoader(dataset, per_host, shuffle=True, drop_last=True,
                           seed=cfg.seed, num_threads=cfg.num_threads,
                           shard_index=jax.process_index(), num_shards=nproc)
-    return DataLoader(dataset, 1, shuffle=False, drop_last=False,
-                      seed=cfg.seed, num_threads=cfg.num_threads)
+    # eval/test: sequential order, sharded across hosts, batched to fill
+    # the mesh's data axis (reference ran eval at batch 1 on one device,
+    # main.py:342; here every chip evaluates).
+    return DataLoader(dataset, batch_size, shuffle=False, drop_last=False,
+                      seed=cfg.seed, num_threads=cfg.num_threads,
+                      shard_index=jax.process_index() if nproc > 1 else 0,
+                      num_shards=nproc)
+
+
+def _pad_batch(batch, size: int):
+    """Pad a partial final batch up to ``size`` by repeating the last
+    sample; returns (padded_batch, num_real). Padded rows are dropped from
+    loss/metric accounting by the caller."""
+    n = next(iter(batch.values())).shape[0]
+    if n == size:
+        return batch, n
+    pad = size - n
+    out = {k: np.concatenate([v] + [v[-1:]] * pad, axis=0)
+           for k, v in batch.items()}
+    return out, n
 
 
 def _restore_pretrain(cfg: Config, state, src: str):
@@ -66,10 +84,11 @@ def train(cfg: Config):
     data_train = get_dataset(cfg, "train")
     data_val = get_dataset(cfg, "val")
     loader_train = _loader(cfg, data_train, "train")
-    loader_val = _loader(cfg, data_val, "val")
 
     steps_per_epoch = len(loader_train)
     engine = Engine(cfg, steps_per_epoch=steps_per_epoch)
+    loader_val = _loader(cfg, data_val, "val",
+                         batch_size=engine.eval_batch_per_host)
     state = engine.init_state((cfg.patch_height, cfg.patch_width))
 
     ckpt = CheckpointManager(cfg)
@@ -79,7 +98,18 @@ def train(cfg: Config):
         if latest is not None:
             restored = ckpt.restore(latest, template=jax.device_get(
                 {"params": state.params, "batch_stats": state.batch_stats,
-                 "opt_state": state.opt_state, "step": state.step}))
+                 "opt_state": state.opt_state, "step": state.step,
+                 "steps_per_epoch": np.asarray(steps_per_epoch, np.int32)}))
+            # The LR schedule derives epoch boundaries from
+            # steps_per_epoch; a silently different loader length on
+            # resume would shift every warm-up/decay boundary.
+            saved_spe = int(restored.pop("steps_per_epoch"))
+            if saved_spe != steps_per_epoch:
+                raise ValueError(
+                    f"resume with steps_per_epoch={steps_per_epoch} but the "
+                    f"checkpoint was trained with {saved_spe} (dataset or "
+                    f"shard count changed); the LR schedule would shift. "
+                    f"Start a fresh run or restore with --pretrain instead.")
             state = state.replace(**restored)
             start_epoch = latest + 1
             print(f"resumed from epoch {latest}")
@@ -113,6 +143,7 @@ def train(cfg: Config):
             print(f"=== Epoch {epoch:4d}/{cfg.epochs} | lr {lr_now:.6f} | "
                   f"{cfg.save_dir} ===")
 
+        last_train = (None, None)
         for b, batch in enumerate(loader_train):
             if cfg.test_pipeline and b == 1:
                 break
@@ -124,6 +155,7 @@ def train(cfg: Config):
             if is_main_process():
                 writer_train.add(np.asarray(aux["loss_val"]),
                                  np.asarray(aux["metric"]))
+                last_train = (sharded, aux["output"])
             if cfg.profile and epoch == start_epoch and b == 3:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
@@ -135,21 +167,25 @@ def train(cfg: Config):
             rate = num_img / max(dt, 1e-9)
             print(f"train epoch {epoch}: {num_img} images in {dt:.1f}s "
                   f"({rate:.1f} images/s)")
-            writer_train.update(epoch)
+            # last batch's sample/output -> TB image grid + Etc/gamma
+            # (reference main.py:261)
+            writer_train.update(epoch, *last_train)
             ckpt.save(epoch, jax.device_get(
                 {"params": state.params, "batch_stats": state.batch_stats,
-                 "opt_state": state.opt_state, "step": state.step}))
+                 "opt_state": state.opt_state, "step": state.step,
+                 "steps_per_epoch": np.asarray(steps_per_epoch, np.int32)}))
 
-        # ---- validation ----
+        # ---- validation (sharded over the mesh, padded rows dropped) ----
         last = (None, None)
         for b, batch in enumerate(loader_val):
             if cfg.test_pipeline and b == 1:
                 break
-            placed = engine.put_eval_batch(batch)
+            padded, valid = _pad_batch(batch, engine.eval_batch_per_host)
+            placed = engine.put_eval_batch(padded)
             res = eval_step(state, placed)
             if is_main_process():
-                writer_val.add(np.asarray(res["loss_val"]),
-                               np.asarray(res["metric"]))
+                writer_val.add(np.asarray(res["loss_val"])[:valid],
+                               np.asarray(res["metric"])[:valid])
                 last = (placed, res["output"])
         if is_main_process():
             writer_val.update(epoch, *last)
@@ -163,7 +199,6 @@ def train(cfg: Config):
 
 def test(cfg: Config, state: TrainState = None, engine: Engine = None):
     data_test = get_dataset(cfg, "test")
-    loader_test = _loader(cfg, data_test, "test")
 
     if engine is None:
         engine = Engine(cfg)
@@ -173,6 +208,8 @@ def test(cfg: Config, state: TrainState = None, engine: Engine = None):
         state = _restore_pretrain(cfg, state, src)
         print(f"loaded checkpoint from {src}")
 
+    bsz = engine.eval_batch_per_host
+    loader_test = _loader(cfg, data_test, "test", batch_size=bsz)
     eval_step = engine.eval_step_fn()
     writer = get_summary(cfg, "test", None,
                          ["RMSE", "MAE", "iRMSE", "iMAE", "REL",
@@ -183,17 +220,20 @@ def test(cfg: Config, state: TrainState = None, engine: Engine = None):
     for b, batch in enumerate(loader_test):
         if cfg.test_pipeline and b == 1:
             break
-        placed = engine.put_eval_batch(batch)
+        padded, valid = _pad_batch(batch, bsz)
+        placed = engine.put_eval_batch(padded)
         t0 = time.time()
         res = eval_step(state, placed)
         jax.block_until_ready(res["metric"])
         t1 = time.time()
         if b > 0:  # skip compile step in timing (reference times everything)
             t_total += t1 - t0
-            n += 1
-        writer.add(metric=np.asarray(res["metric"]))
+            n += valid
+        writer.add(metric=np.asarray(res["metric"])[:valid])
         if cfg.save_image or cfg.save_result_only:
-            writer.save(0, b, batch, jax.device_get(res["output"]))
+            output = jax.device_get(res["output"])
+            for i in range(valid):
+                writer.save(0, b * bsz + i, padded, output, batch_index=i)
     summary = writer.update(0)
     if n:
         print(f"elapsed time : {t_total:.4f} sec, "

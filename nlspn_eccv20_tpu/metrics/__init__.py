@@ -50,6 +50,47 @@ def evaluate(sample, output) -> jnp.ndarray:
     return jnp.stack([rmse, mae, irmse, imae, rel] + deltas)[None, :]
 
 
+def evaluate_per_sample(sample, output) -> jnp.ndarray:
+    """Returns a (B, 8) array: the 8 metrics evaluated independently per
+    image. Row-for-row identical to running :func:`evaluate` at batch 1
+    (the reference's eval loop shape, main.py:342), which lets a sharded
+    eval batch keep per-image metric accounting exact — padded rows are
+    simply dropped by the caller."""
+    pred = output["pred"]
+    gt = sample["gt"]
+    ax = (1, 2, 3)
+
+    mask = gt > T_VALID
+    num_valid = jnp.sum(mask, axis=ax)
+    fmask = mask.astype(pred.dtype)
+
+    pred_inv = 1.0 / (pred + 1e-8)
+    gt_inv = 1.0 / (gt + 1e-8)
+    pred_inv = jnp.where(pred <= T_VALID, 0.0, pred_inv)
+    gt_inv = jnp.where(gt <= T_VALID, 0.0, gt_inv)
+
+    diff = (pred - gt) * fmask
+    rmse = jnp.sqrt(jnp.sum(diff ** 2, axis=ax) / (num_valid + 1e-8))
+    mae = jnp.sum(jnp.abs(diff), axis=ax) / (num_valid + 1e-8)
+
+    diff_inv = (pred_inv - gt_inv) * fmask
+    irmse = jnp.sqrt(jnp.sum(diff_inv ** 2, axis=ax) / (num_valid + 1e-8))
+    imae = jnp.sum(jnp.abs(diff_inv), axis=ax) / (num_valid + 1e-8)
+
+    rel = jnp.sum(jnp.abs(diff) / (gt + 1e-8) * fmask, axis=ax) / (
+        num_valid + 1e-8)
+
+    r1 = gt / (pred + 1e-8)
+    r2 = pred / (gt + 1e-8)
+    ratio = jnp.maximum(r1, r2)
+    deltas = [
+        jnp.sum((ratio < 1.25 ** p) * fmask, axis=ax) / (num_valid + 1e-8)
+        for p in (1, 2, 3)
+    ]
+
+    return jnp.stack([rmse, mae, irmse, imae, rel] + deltas, axis=-1)
+
+
 class MetricFunction:
     def __init__(self, cfg):
         self.cfg = cfg

@@ -94,20 +94,50 @@ def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
 
 
 def maybe_initialize_distributed(cfg=None) -> None:
-    """Initialize the multi-controller runtime when running on a pod slice.
+    """Initialize the multi-controller runtime when running on a cluster.
 
-    Safe to call unconditionally: no-ops when single-process or when the
-    cluster env vars are absent.
+    Replaces the reference's MASTER_ADDR/PORT NCCL process-group rendezvous
+    (main.py:20-22,83-84). MUST run before anything touches the JAX backend
+    (``jax.devices()``/``process_count()`` freeze the runtime in
+    single-process mode), so the decision is made purely from environment
+    variables:
+
+      * ``JAX_COORDINATOR_ADDRESS`` (+ ``JAX_NUM_PROCESSES`` /
+        ``JAX_PROCESS_ID``): explicit rendezvous — works on any backend,
+        including multi-process CPU (used by the two-process test).
+      * managed-cluster signals JAX auto-detects (TPU pod metadata, SLURM,
+        Open MPI): ``jax.distributed.initialize()`` with no arguments.
+
+    Single-process runs (no signals present) are a no-op. Initialization
+    failures propagate — a half-initialized cluster must fail loudly, not
+    silently train single-host.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        import os
+    import os
 
-        if os.environ.get("COORDINATOR_ADDRESS"):
-            jax.distributed.initialize()
-    except Exception:
-        pass
+    if jax.distributed.is_initialized():
+        return
+    env = os.environ
+    if env.get("JAX_COORDINATOR_ADDRESS"):
+        # explicit rendezvous: jax reads the address env var itself;
+        # num_processes/process_id have no standard env, so we accept
+        # JAX_NUM_PROCESSES / JAX_PROCESS_ID alongside it.
+        num = env.get("JAX_NUM_PROCESSES")
+        pid = env.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            num_processes=int(num) if num is not None else None,
+            process_id=int(pid) if pid is not None else None)
+        return
+    multi = [
+        env.get("SLURM_JOB_NUM_NODES", "1"),
+        env.get("OMPI_COMM_WORLD_SIZE", "1"),
+        # a pod slice lists several workers; a single-host attachment
+        # (e.g. "localhost") is not a cluster
+        str(len(env.get("TPU_WORKER_HOSTNAMES", "").split(","))
+            if env.get("TPU_WORKER_HOSTNAMES") else 1),
+    ]
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS") or any(
+            s.isdigit() and int(s) > 1 for s in multi):
+        jax.distributed.initialize()
 
 
 def is_main_process() -> bool:

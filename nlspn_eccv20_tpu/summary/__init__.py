@@ -27,6 +27,16 @@ except Exception:  # pragma: no cover
     _TB = False
 
 
+def _host_local(x) -> np.ndarray:
+    """Materialize an array on host. For sharded jax.Arrays that are not
+    fully addressable (multi-host), returns the locally-addressable batch
+    shards — enough for rank-0 image grids without a cross-host gather."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
+
+
 def _unnormalize_rgb(rgb: np.ndarray) -> np.ndarray:
     mean = np.asarray([0.485, 0.456, 0.406], np.float32)
     std = np.asarray([0.229, 0.224, 0.225], np.float32)
@@ -95,7 +105,7 @@ class Summary:
             result.update({n: float(v) for n, v in zip(self.metric_name, mean)})
 
         if self._tb and output is not None and "gamma" in output and output["gamma"] is not None:
-            self._tb.add_scalar("Etc/gamma", float(np.asarray(output["gamma"]).ravel()[0]), epoch)
+            self._tb.add_scalar("Etc/gamma", float(_host_local(output["gamma"]).ravel()[0]), epoch)
 
         if sample is not None and output is not None and self._tb:
             self._tb_images(epoch, sample, output)
@@ -107,12 +117,12 @@ class Summary:
         return result
 
     def _tb_images(self, epoch: int, sample, output):
-        n = min(self.cfg.num_summary, np.asarray(sample["rgb"]).shape[0])
+        n = min(self.cfg.num_summary, _host_local(sample["rgb"]).shape[0])
         rows = []
-        rgb = _unnormalize_rgb(np.asarray(sample["rgb"])[:n])
-        dep = np.asarray(sample["dep"])[:n, ..., 0]
-        gt = np.asarray(sample["gt"])[:n, ..., 0]
-        pred = np.asarray(output["pred"])[:n, ..., 0]
+        rgb = _unnormalize_rgb(_host_local(sample["rgb"])[:n])
+        dep = _host_local(sample["dep"])[:n, ..., 0]
+        gt = _host_local(sample["gt"])[:n, ..., 0]
+        pred = _host_local(output["pred"])[:n, ..., 0]
         vmax = self.cfg.max_depth
         for i in range(n):
             row = [
@@ -122,7 +132,7 @@ class Summary:
                 _colormap(gt[i], vmax),
             ]
             if output.get("confidence") is not None:
-                conf = np.asarray(output["confidence"])[i, ..., 0]
+                conf = _host_local(output["confidence"])[i, ..., 0]
                 row.append(_colormap(conf, 1.0, "gray"))
             rows.append(np.concatenate(row, axis=1))
         grid = np.concatenate(rows, axis=0)
@@ -133,48 +143,64 @@ class Summary:
         self.path_output = os.path.join(self.log_dir, f"epoch{epoch:04d}")
         os.makedirs(self.path_output, exist_ok=True)
 
-    def save(self, epoch: int, idx: int, sample, output):
+    def save(self, epoch: int, idx: int, sample, output, batch_index: int = 0):
+        """Per-image artifact dump, matching the reference layout exactly
+        (nlspnsummary.py:165-268): ``epoch%04d/%010d.png`` submission PNGs
+        when ``save_result_only``; otherwise a per-image directory
+        ``epoch%04d/%08d/`` with 01_rgb / 02_dep / 03_pred_init /
+        04_pred_prop_%02d / 05_pred_final(+_gray) / 06_gt PNGs plus
+        offset/aff/gamma ``.npy``.
+
+        ``batch_index`` selects the image inside a (possibly sharded) eval
+        batch; the reference always ran eval at batch 1.
+        """
         from PIL import Image
 
         if self.path_output is None:
             self.setup_output_dir(epoch)
 
+        b = batch_index
         if self.cfg.save_result_only:
-            # KITTI submission format: 16-bit PNG, depth * 256
+            # KITTI submission format: 16-bit PNG, clamp(pred) * 256
             # (reference nlspnsummary.py:172-182; README.md:302).
-            pred = np.asarray(output["pred"])[0, ..., 0]
+            pred = np.clip(np.asarray(output["pred"])[b, ..., 0], 0, None)
             img = (pred * 256.0).astype(np.uint16)
             Image.fromarray(img).save(
                 os.path.join(self.path_output, f"{idx:010d}.png"))
             return
 
+        out_dir = os.path.join(self.path_output, f"{idx:08d}")
+        os.makedirs(out_dir, exist_ok=True)
         vmax = self.cfg.max_depth
-        rgb = (_unnormalize_rgb(np.asarray(sample["rgb"])[0]) * 255).astype(np.uint8)
-        Image.fromarray(rgb).save(os.path.join(self.path_output, f"{idx:08d}_01_rgb.png"))
-        Image.fromarray(_colormap(np.asarray(sample["dep"])[0, ..., 0], vmax)).save(
-            os.path.join(self.path_output, f"{idx:08d}_02_dep.png"))
-        Image.fromarray(_colormap(np.asarray(output["pred"])[0, ..., 0], vmax)).save(
-            os.path.join(self.path_output, f"{idx:08d}_05_pred_final.png"))
-        Image.fromarray(_colormap(np.asarray(sample["gt"])[0, ..., 0], vmax)).save(
-            os.path.join(self.path_output, f"{idx:08d}_06_gt.png"))
+
+        def _save_cm(arr, name):
+            Image.fromarray(_colormap(arr, vmax)).save(
+                os.path.join(out_dir, name))
+
+        rgb = (_unnormalize_rgb(np.asarray(sample["rgb"])[b]) * 255).astype(
+            np.uint8)
+        Image.fromarray(rgb).save(os.path.join(out_dir, "01_rgb.png"))
+        _save_cm(np.asarray(sample["dep"])[b, ..., 0], "02_dep.png")
+        pred = np.clip(np.asarray(output["pred"])[b, ..., 0], 0, None)
+        _save_cm(pred, "05_pred_final.png")
+        # grayscale final pred (reference 05_pred_final_gray.png)
+        gray = (np.clip(pred / max(vmax, 1e-8), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(gray).save(
+            os.path.join(out_dir, "05_pred_final_gray.png"))
+        _save_cm(np.asarray(sample["gt"])[b, ..., 0], "06_gt.png")
         if output.get("pred_init") is not None:
-            Image.fromarray(_colormap(np.asarray(output["pred_init"])[0, ..., 0], vmax)).save(
-                os.path.join(self.path_output, f"{idx:08d}_03_pred_init.png"))
-        if output.get("confidence") is not None:
-            Image.fromarray(_colormap(np.asarray(output["confidence"])[0, ..., 0], 1.0, "gray")).save(
-                os.path.join(self.path_output, f"{idx:08d}_04_confidence.png"))
-        if self.cfg.save_image and output.get("pred_inter") is not None:
+            _save_cm(np.asarray(output["pred_init"])[b, ..., 0],
+                     "03_pred_init.png")
+        if output.get("pred_inter") is not None:
             for t, p in enumerate(output["pred_inter"]):
-                Image.fromarray(_colormap(np.asarray(p)[0, ..., 0], vmax)).save(
-                    os.path.join(self.path_output,
-                                 f"{idx:08d}_07_pred_prop_{t:02d}.png"))
-        # raw arrays for offline analysis (reference dumps offset/aff/gamma)
-        np.save(os.path.join(self.path_output, f"{idx:08d}_aff.npy"),
-                np.asarray(output["aff"]))
+                _save_cm(np.asarray(p)[b, ..., 0],
+                         f"04_pred_prop_{t:02d}.png")
         if output.get("offset") is not None:
-            np.save(os.path.join(self.path_output, f"{idx:08d}_offset.npy"),
-                    np.asarray(output["offset"]))
-        np.save(os.path.join(self.path_output, f"{idx:08d}_gamma.npy"),
+            np.save(os.path.join(out_dir, "offset.npy"),
+                    np.asarray(output["offset"])[b:b + 1])
+        np.save(os.path.join(out_dir, "aff.npy"),
+                np.asarray(output["aff"])[b:b + 1])
+        np.save(os.path.join(out_dir, "gamma.npy"),
                 np.asarray(output["gamma"]))
 
     def close(self):

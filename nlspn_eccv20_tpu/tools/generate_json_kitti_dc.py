@@ -28,7 +28,14 @@ def _entries_for_split(root: str, split: str, max_depth_dirs=("image_02", "image
     for seq in seqs:
         seq_name = os.path.basename(seq)
         date = seq_name[:10]  # e.g. 2011_09_26
-        calib = os.path.join(date, "calib_cam_to_cam.txt")
+        # reference layout first (calib inside the sequence dir,
+        # prepare_KITTI_DC.py:85-90); date-level fallback for trees made by
+        # older versions of our prep tool.
+        calib = os.path.join(split, seq_name, "calib_cam_to_cam.txt")
+        if not os.path.isfile(os.path.join(root, calib)):
+            alt = os.path.join(date, "calib_cam_to_cam.txt")
+            if os.path.isfile(os.path.join(root, alt)):
+                calib = alt
         for cam in max_depth_dirs:
             gt_dir = os.path.join(seq, "proj_depth", "groundtruth", cam)
             dep_dir = os.path.join(seq, "proj_depth", "velodyne_raw", cam)

@@ -39,13 +39,14 @@ def prepare_split(path_dc: str, path_raw: str, split: str, dry_run: bool = False
                 if not dry_run:
                     shutil.copytree(src, dst)
                 copied += 1
-        # date-level calib files live beside the sequences
+        # calib files are copied INTO each sequence dir — the reference
+        # layout (prepare_KITTI_DC.py:85-90), so trees prepared by either
+        # tool stay interoperable.
         for cf in CALIB_FILES:
             src = os.path.join(path_raw, date, cf)
-            dst = os.path.join(path_dc, date, cf)
+            dst = os.path.join(seq, cf)
             if os.path.isfile(src) and not os.path.isfile(dst):
                 if not dry_run:
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
                     shutil.copy2(src, dst)
                 copied += 1
     return copied

@@ -124,6 +124,27 @@ class TestLoader:
         sizes = [b["rgb"].shape[0] for b in dl]
         assert sizes == [5, 5, 5, 5, 5, 5, 2]
 
+    def test_early_exit_unblocks_producer(self):
+        """Breaking out of iteration mid-epoch must not leave the producer
+        thread parked in a full queue (it would leak a thread pool per
+        abandoned iterator)."""
+        import threading
+
+        before = threading.active_count()
+        for _ in range(4):
+            it = iter(DataLoader(self._ds(), 2, shuffle=False, seed=0,
+                                 prefetch=1))
+            next(it)
+            it.close()  # generator close -> finally -> drain + join
+        # allow a short grace period for thread teardown
+        import time
+
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before, (
+            threading.active_count(), before)
+
 
 class TestOptimSchedule:
     def test_piecewise_decay_and_warmup(self):

@@ -376,6 +376,126 @@ def test_gradient_parity():
     close("gamma", t_grads["aff_scale_const"], g["aff_scale_const"])
 
 
+def test_training_trajectory_parity():
+    """Multi-step TRAINING parity: 20 Adam steps over cycling batches, ours
+    vs the reference implementation from identical weights/data/optimizer
+    (reference main.py:205-256 semantics: loss_sum / batch_size, Adam
+    defaults from config.py). One-step gradient parity (above) bounds a
+    single step; this bounds the compounding over a real optimization
+    trajectory — per-step losses must track and stay bounded, and final
+    parameters must still agree."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nlspn_eccv20_tpu.losses import get_loss
+    from nlspn_eccv20_tpu.models import get_model
+    from nlspn_eccv20_tpu.utils.torch_import import (
+        _conv_w,
+        import_nlspn_state_dict,
+    )
+
+    a = _args(prop_time=2, patch_height=32, patch_width=48)
+    n_steps, n_batches, bsz = 20, 4, 2
+    lr = 1e-3
+
+    # fixed data: n_batches batches of bsz samples, cycled
+    rng = np.random.default_rng(17)
+    data = []
+    for _ in range(n_batches):
+        h, w = a.patch_height, a.patch_width
+        rgb = rng.standard_normal((bsz, h, w, 3)).astype(np.float32)
+        gt = np.clip(rng.random((bsz, h, w, 1)) * 8.0, 0.05,
+                     None).astype(np.float32)
+        dep = (gt * (rng.random((bsz, h, w, 1)) > 0.95)).astype(np.float32)
+        data.append({"rgb": rgb, "dep": dep, "gt": gt})
+
+    # ---- torch trajectory
+    tm = _ref_model(a).train()
+    opt = torch.optim.Adam(tm.parameters(), lr=lr, betas=(0.9, 0.999),
+                           eps=1e-8)
+
+    def t_loss(pred, gt_, p):
+        pred = pred.clamp(0, a.max_depth)
+        gt_ = gt_.clamp(0, a.max_depth)
+        mask = (gt_ > 1e-4).float()
+        d = (pred - gt_) * mask
+        d = d.abs() if p == 1 else d ** 2
+        num = mask.sum(dim=[1, 2, 3])
+        return (d.sum(dim=[1, 2, 3]) / (num + 1e-8)).sum()
+
+    # import BEFORE stepping so both sides start from identical weights.
+    # NOTE: jnp.asarray is zero-copy on CPU and the imported arrays may
+    # alias torch parameter storage, which opt.step() mutates in place —
+    # deep-copy so the jax side really starts from the initial weights.
+    cfg = _our_cfg(a).replace(loss="1.0*L1+1.0*L2")
+    model = get_model(cfg)
+    loss_fn = get_loss(cfg)
+    variables = model.init(jax.random.PRNGKey(0), data[0], train=True)
+    variables = import_nlspn_state_dict(variables, tm.state_dict(), cfg)
+    variables = jax.tree_util.tree_map(
+        lambda x: jnp.array(np.array(x, copy=True)), variables)
+
+    t_losses = []
+    for step in range(n_steps):
+        b = data[step % n_batches]
+        out = tm({
+            "rgb": torch.from_numpy(np.transpose(b["rgb"], (0, 3, 1, 2))),
+            "dep": torch.from_numpy(np.transpose(b["dep"], (0, 3, 1, 2))),
+        })
+        gt_t = torch.from_numpy(np.transpose(b["gt"], (0, 3, 1, 2)))
+        loss = (t_loss(out["pred"], gt_t, 1)
+                + t_loss(out["pred"], gt_t, 2)) / bsz
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- our trajectory (same Adam hyperparameters)
+    tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, batch):
+        def loss_of(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, batch,
+                train=True, mutable=["batch_stats"])
+            return loss_fn(batch, out)[0] / bsz, mut["batch_stats"]
+
+        (lv, bs), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), bs, opt_state2, lv
+
+    j_losses = []
+    for step in range(n_steps):
+        params, batch_stats, opt_state, lv = train_step(
+            params, batch_stats, opt_state, data[step % n_batches])
+        j_losses.append(float(lv))
+
+    # per-step losses track (compounding drift stays bounded)
+    for s, (tv, jv) in enumerate(zip(t_losses, j_losses)):
+        assert abs(tv - jv) / max(abs(tv), 1.0) < 5e-3, \
+            (s, tv, jv, t_losses, j_losses)
+    # both trajectories actually optimized
+    assert j_losses[-1] < j_losses[0] * 0.9
+    # final weights still agree after 20 coupled updates
+    t_sd = tm.state_dict()
+    final_pairs = [
+        (_conv_w(t_sd["conv1_rgb.0.weight"].numpy()),
+         params["conv1_rgb"]["conv"]["kernel"]),
+        (_conv_w(t_sd["GRU.convz.weight"].numpy()),
+         params["prop_step"]["GRU"]["convz_kernel"]),
+        (t_sd["aff_scale_const"].numpy(), params["aff_scale_const"]),
+    ]
+    for t_v, j_v in final_pairs:
+        t_v, j_v = np.asarray(t_v), np.asarray(j_v)
+        scale = max(np.max(np.abs(t_v)), 1e-8)
+        assert np.max(np.abs(t_v - j_v)) / scale < 2e-2
+
+
 def test_torch_checkpoint_file_roundtrip(tmp_path):
     """A saved reference training checkpoint ({net: state_dict, args} with
     DDP 'module.' prefixes, reference main.py:263-275) loads via

@@ -152,3 +152,44 @@ def test_eval_replicated():
     res = ev(state, eng.put_eval_batch(_batch(1, 16, 24)))
     m = np.asarray(res["metric"])
     assert m.shape == (1, 8) and np.isfinite(m).all()
+
+
+def test_eval_sharded_matches_per_image(monkeypatch):
+    """VERDICT round 1 item 6: eval shards over every chip. A full eval
+    batch must (a) actually shard on the data axis, and (b) return
+    per-image metric rows identical to evaluating each image alone at
+    batch 1 (the reference's eval shape)."""
+    cfg = Config(patch_height=16, patch_width=24, prop_time=2,
+                 prop_impl="xla", batch_size=8).finalize()
+    eng = Engine(cfg, steps_per_epoch=1)
+    assert eng.eval_batch_per_host == 8
+    state = eng.init_state((16, 24))
+    ev = eng.eval_step_fn()
+
+    batch = _batch(8, 16, 24, seed=3)
+    placed = eng.put_eval_batch(batch)
+    assert len({s.device for s in placed["rgb"].addressable_shards}) == 8
+    res = ev(state, placed)
+    m = np.asarray(res["metric"])
+    lv = np.asarray(res["loss_val"])
+    assert m.shape == (8, 8) and lv.shape == (8, 3)
+
+    for i in (0, 3, 7):
+        one = {k: v[i:i + 1] for k, v in batch.items()}
+        r1 = ev(state, eng.put_eval_batch(one))
+        np.testing.assert_allclose(np.asarray(r1["metric"])[0], m[i],
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r1["loss_val"])[0], lv[i],
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_pad_batch_helper():
+    from nlspn_eccv20_tpu.main import _pad_batch
+
+    batch = _batch(3, 8, 8)
+    padded, valid = _pad_batch(batch, 8)
+    assert valid == 3
+    assert padded["rgb"].shape[0] == 8
+    np.testing.assert_array_equal(padded["gt"][3], batch["gt"][2])
+    same, valid2 = _pad_batch(batch, 3)
+    assert valid2 == 3 and same is batch

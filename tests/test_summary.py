@@ -76,10 +76,13 @@ def test_visualization_dump(tmp_path):
     s.setup_output_dir(3)
     sample, output = _fake(b=1)
     s.save(3, 0, sample, output)
-    files = os.listdir(s.path_output)
-    assert any("01_rgb" in f for f in files)
-    assert any("05_pred_final" in f for f in files)
-    assert any("07_pred_prop_00" in f for f in files)
-    assert any(f.endswith("_aff.npy") for f in files)
-    assert any(f.endswith("_gamma.npy") for f in files)
+    # reference layout (nlspnsummary.py:183-268): epoch%04d/%08d/ per-image
+    # dirs with fixed artifact names
+    out_dir = os.path.join(s.path_output, "00000000")
+    files = os.listdir(out_dir)
+    for expected in ("01_rgb.png", "02_dep.png", "03_pred_init.png",
+                     "04_pred_prop_00.png", "05_pred_final.png",
+                     "05_pred_final_gray.png", "06_gt.png",
+                     "aff.npy", "gamma.npy"):
+        assert expected in files, (expected, files)
     s.close()

@@ -146,8 +146,10 @@ class TestPrepareKITTI:
         _run_main(prepare_kitti_dc, ["--path_dc", dc, "--path_raw", raw])
         for sub in ("image_02", "image_03", "oxts"):
             assert os.path.isdir(os.path.join(dc, "train", seq, sub)), sub
+        # calib lands inside each sequence dir (reference
+        # prepare_KITTI_DC.py:85-90 layout)
         for cf in prepare_kitti_dc.CALIB_FILES:
-            assert os.path.isfile(os.path.join(dc, "2011_09_26", cf)), cf
+            assert os.path.isfile(os.path.join(dc, "train", seq, cf)), cf
 
     def test_dry_run_copies_nothing(self, tmp_path):
         from nlspn_eccv20_tpu.tools import prepare_kitti_dc
@@ -162,6 +164,109 @@ class TestPrepareKITTI:
         n = prepare_kitti_dc.prepare_split(dc, raw, "train", dry_run=True)
         assert n == 1
         assert not os.path.isdir(os.path.join(dc, "train", seq, "image_02"))
+
+    def test_round_trip_prepare_generate_load(self, tmp_path):
+        """prepare -> generate_json -> KITTIDC dataset loads (interop check:
+        the K path written by the generator must resolve against the tree
+        built by the prep tool, reference layout)."""
+        import numpy as np
+        from PIL import Image
+
+        from nlspn_eccv20_tpu.config import Config
+        from nlspn_eccv20_tpu.data import get_dataset
+        from nlspn_eccv20_tpu.tools import generate_json_kitti_dc, prepare_kitti_dc
+
+        dc = str(tmp_path / "dc")
+        raw = str(tmp_path / "raw")
+        seq = "2011_09_26_drive_0001_sync"
+        rng = np.random.default_rng(0)
+        base = os.path.join(dc, "train", seq)
+        for i in range(2):
+            fn = f"{i:010d}.png"
+            gt = (rng.random((60, 100)) * 80 * 256).astype(np.uint16)
+            os.makedirs(os.path.join(base, "proj_depth", "groundtruth",
+                                     "image_02"), exist_ok=True)
+            os.makedirs(os.path.join(base, "proj_depth", "velodyne_raw",
+                                     "image_02"), exist_ok=True)
+            Image.fromarray(gt).save(os.path.join(
+                base, "proj_depth", "groundtruth", "image_02", fn))
+            Image.fromarray((gt * (rng.random((60, 100)) > 0.9)).astype(
+                np.uint16)).save(os.path.join(
+                    base, "proj_depth", "velodyne_raw", "image_02", fn))
+            os.makedirs(os.path.join(raw, "2011_09_26", seq, "image_02",
+                                     "data"), exist_ok=True)
+            Image.fromarray(rng.integers(0, 256, (60, 100, 3),
+                                         dtype=np.uint8)).save(
+                os.path.join(raw, "2011_09_26", seq, "image_02", "data", fn))
+        P = ("7.2e+02 0.0 6.0e+01 4.4e+01 0.0 7.2e+02 4.7e+01 2.1e-01 "
+             "0.0 0.0 1.0 2.7e-03")
+        with open(os.path.join(raw, "2011_09_26", "calib_cam_to_cam.txt"),
+                  "w") as f:
+            f.write(f"P_rect_02: {P}\nP_rect_03: {P}\n")
+        for cf in ("calib_imu_to_velo.txt", "calib_velo_to_cam.txt"):
+            _touch(os.path.join(raw, "2011_09_26", cf))
+
+        _run_main(prepare_kitti_dc, ["--path_dc", dc, "--path_raw", raw])
+        out = str(tmp_path / "kitti_dc.json")
+        _run_main(generate_json_kitti_dc,
+                  ["--path_root", dc, "--path_out", out])
+        data = json.loads(open(out).read())
+        assert len(data["train"]) == 2
+        assert data["train"][0]["K"] == os.path.join(
+            "train", seq, "calib_cam_to_cam.txt")
+
+        cfg = Config(data_name="KITTIDC", dir_data=dc, split_json=out,
+                     patch_height=32, patch_width=64, top_crop=0,
+                     max_depth=90.0, num_sample=0).finalize()
+        ds = get_dataset(cfg, "train")
+        s = ds.__getitem__(0, np.random.default_rng(0))
+        assert s["rgb"].shape == (32, 64, 3)
+        assert s["K"][0] == pytest.approx(720.0 * (s["K"][0] / 720.0))
+
+    def test_date_level_calib_fallback(self, tmp_path):
+        """Trees with date-level calib (our old layout) still resolve."""
+        import numpy as np
+        from PIL import Image
+
+        from nlspn_eccv20_tpu.config import Config
+        from nlspn_eccv20_tpu.data import get_dataset
+
+        dc = str(tmp_path / "dc")
+        seq = "2011_09_26_drive_0001_sync"
+        rng = np.random.default_rng(0)
+        base = os.path.join(dc, "train", seq)
+        fn = "0000000000.png"
+        gt = (rng.random((60, 100)) * 80 * 256).astype(np.uint16)
+        for sub in ("groundtruth", "velodyne_raw"):
+            os.makedirs(os.path.join(base, "proj_depth", sub, "image_02"),
+                        exist_ok=True)
+            Image.fromarray(gt).save(
+                os.path.join(base, "proj_depth", sub, "image_02", fn))
+        os.makedirs(os.path.join(base, "image_02", "data"), exist_ok=True)
+        Image.fromarray(rng.integers(0, 256, (60, 100, 3),
+                                     dtype=np.uint8)).save(
+            os.path.join(base, "image_02", "data", fn))
+        P = ("7.2e+02 0.0 6.0e+01 4.4e+01 0.0 7.2e+02 4.7e+01 2.1e-01 "
+             "0.0 0.0 1.0 2.7e-03")
+        os.makedirs(os.path.join(dc, "2011_09_26"), exist_ok=True)
+        with open(os.path.join(dc, "2011_09_26", "calib_cam_to_cam.txt"),
+                  "w") as f:
+            f.write(f"P_rect_02: {P}\nP_rect_03: {P}\n")
+        # JSON points at the (missing) reference-layout path; loader must
+        # fall back to the date-level file.
+        sj = str(tmp_path / "split.json")
+        with open(sj, "w") as f:
+            json.dump({"train": [{
+                "rgb": f"train/{seq}/image_02/data/{fn}",
+                "depth": f"train/{seq}/proj_depth/velodyne_raw/image_02/{fn}",
+                "gt": f"train/{seq}/proj_depth/groundtruth/image_02/{fn}",
+                "K": f"train/{seq}/calib_cam_to_cam.txt",
+            }], "val": [], "test": []}, f)
+        cfg = Config(data_name="KITTIDC", dir_data=dc, split_json=sj,
+                     patch_height=32, patch_width=64, top_crop=0,
+                     max_depth=90.0, num_sample=0).finalize()
+        s = get_dataset(cfg, "train").__getitem__(0, np.random.default_rng(0))
+        assert s["K"].shape == (4,)
 
     def test_missing_raw_sequence_skipped(self, tmp_path, capsys):
         from nlspn_eccv20_tpu.tools import prepare_kitti_dc

@@ -41,6 +41,52 @@ def test_main_end_to_end(exp_dir):
     assert "RMSE" in content
 
 
+def _small_cfg(exp_dir, **kw):
+    from nlspn_eccv20_tpu.config import Config
+
+    base = dict(data_name="Synthetic", patch_height=32, patch_width=48,
+                prop_time=1, batch_size=8, lr=1e-3, epochs=1,
+                use_GRU=False, use_S2D=False, num_sample=50,
+                num_threads=2, save="resume_t", experiments_dir=exp_dir,
+                save_dir=os.path.join(exp_dir, "run"),
+                decay="2,3", gamma="1.0,0.2")
+    base.update(kw)
+    return Config(**base).finalize()
+
+
+def test_resume_continues_lr_curve(exp_dir, capsys):
+    """Resume must continue the LR schedule exactly where it left off
+    (schedule identity is pinned by the checkpointed steps_per_epoch)."""
+    from nlspn_eccv20_tpu.main import train
+    from nlspn_eccv20_tpu.utils.optim import make_lr_schedule
+
+    cfg = _small_cfg(exp_dir)
+    train(cfg)
+
+    cfg2 = _small_cfg(exp_dir, resume=True, epochs=2)
+    train(cfg2)
+    out = capsys.readouterr().out
+    assert "resumed from epoch 1" in out
+
+    # the lr printed at the start of epoch 2 must equal the schedule
+    # evaluated at the checkpointed global step (4 steps/epoch: 32/8)
+    lr_lines = [ln for ln in out.splitlines() if "Epoch    2/2" in ln]
+    assert lr_lines, out
+    printed = float(lr_lines[0].split("lr")[1].split("|")[0].strip())
+    schedule = make_lr_schedule(cfg2, steps_per_epoch=4)
+    assert printed == pytest.approx(float(schedule(4)), rel=1e-6)
+
+
+def test_resume_rejects_changed_steps_per_epoch(exp_dir):
+    """A resumed run whose loader length changed would silently shift every
+    LR decay boundary; it must fail loudly instead."""
+    from nlspn_eccv20_tpu.main import train
+
+    train(_small_cfg(exp_dir))
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        train(_small_cfg(exp_dir, resume=True, epochs=2, batch_size=4))
+
+
 def test_training_reduces_loss(exp_dir):
     """A few real optimization steps on one synthetic batch must cut loss."""
     import jax
