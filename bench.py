@@ -82,7 +82,7 @@ def bench_train_step(cfg, b, h, w):
     return b / dt, dt
 
 
-def bench_infer(cfg, h, w):
+def bench_infer(cfg, h, w, need_inter=True, variables=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -95,9 +95,11 @@ def bench_infer(cfg, h, w):
         "rgb": jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32),
         "dep": jnp.asarray((rng.random((1, h, w, 1)) > 0.97) * 5, jnp.float32),
     }
-    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
-    fwd = jax.jit(lambda v, s: model.apply(v, s, train=False)["pred"])
-    return measure(fwd, variables, sample, calls=8, warmup=2)
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    fwd = jax.jit(lambda v, s: model.apply(v, s, train=False,
+                                           need_inter=need_inter)["pred"])
+    return measure(fwd, variables, sample, calls=8, warmup=2), variables
 
 
 def bench_prop_kernels(b, h, w, steps=12):
@@ -146,6 +148,45 @@ def bench_prop_kernels(b, h, w, steps=12):
     return results
 
 
+def bench_deform_kernels(b, h, w):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nlspn_eccv20_tpu.ops.propagate import (
+        propagate_deformable_exact,
+        propagate_deformable_windowed,
+    )
+
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((b, h, w, 1)), jnp.float32)
+    off = jnp.asarray(
+        np.clip(rng.standard_normal((b, h, w, 18)) * 1.5, -4, 4), jnp.float32)
+    aff = jnp.asarray(rng.standard_normal((b, h, w, 9)) * 0.11, jnp.float32)
+
+    results = {}
+    results["windowed"] = measure(
+        jax.jit(lambda f, o, a: propagate_deformable_windowed(
+            f, o, a, radius=4)), feat, off, aff)
+    try:
+        from nlspn_eccv20_tpu.ops.pallas.deform_prop import (
+            propagate_deformable_pallas,
+        )
+
+        results["pallas"] = measure(
+            jax.jit(lambda f, o, a: propagate_deformable_pallas(
+                f, o, a, radius=4)), feat, off, aff)
+    except Exception as e:
+        results["pallas"] = None
+        _eprint(f"  deform pallas unavailable: {type(e).__name__}")
+    if not os.environ.get("BENCH_SKIP_EXACT_GATHER"):
+        # the old exact-gather path is ~300 ms/call; keep calls low
+        results["exact_gather"] = measure(
+            jax.jit(lambda f, o, a: propagate_deformable_exact(f, o, a)),
+            feat, off, aff, calls=2, warmup=1)
+    return results
+
+
 def main():
     import jax
 
@@ -190,17 +231,51 @@ def main():
         imgs_bf16, dt_bf16 = bench_train_step(cfg_bf16, 12, 228, 304)
         _eprint(f"NYU train step (b=12, bf16): {dt_bf16*1e3:.1f} ms -> {imgs_bf16:.1f} images/s")
 
-        infer_dt = bench_infer(cfg, 228, 304)
+        infer_dt, _ = bench_infer(cfg, 228, 304)
         _eprint(f"NYU inference (b=1): {infer_dt*1e3:.2f} ms/image")
+
+        # Constant-affinity (use_GRU=False, upstream-NLSPN default) serving:
+        # 'auto' routes the whole propagation loop through the fused Pallas
+        # VMEM-resident kernel; 'xla' is the per-step fused baseline.
+        cfg_ng = cfg.replace(use_GRU=False, prop_impl="xla").finalize()
+        dt_ng_xla, var_ng = bench_infer(cfg_ng, 228, 304, need_inter=False)
+        cfg_ng_p = cfg_ng.replace(prop_impl="auto").finalize()
+        dt_ng_pl, _ = bench_infer(cfg_ng_p, 228, 304, need_inter=False,
+                                  variables=var_ng)
+        _eprint(f"NYU inference b=1 use_GRU=False: xla {dt_ng_xla*1e3:.2f} ms"
+                f" | pallas-loop {dt_ng_pl*1e3:.2f} ms"
+                f" ({dt_ng_xla/dt_ng_pl:.2f}x)")
 
         # KITTI DC headline config (240x1216 after top_crop; BASELINE.md):
         # batch sized to chip HBM; reference trains this on 8x P40.
+        for bk in (3, 4, 6):
+            try:
+                cfg_k = Config(patch_height=240, patch_width=1216,
+                               batch_size=bk, max_depth=90.0,
+                               num_sample=0).finalize()
+                imgs_k, dt_k = bench_train_step(cfg_k, bk, 240, 1216)
+                _eprint(f"KITTI train step (b={bk}): {dt_k*1e3:.1f} ms -> "
+                        f"{imgs_k:.1f} images/s")
+                if bk == 3:
+                    imgs_kb, dt_kb = bench_train_step(
+                        cfg_k.replace(precision="bf16"), bk, 240, 1216)
+                    _eprint(f"KITTI train step (b={bk}, bf16): "
+                            f"{dt_kb*1e3:.1f} ms -> {imgs_kb:.1f} images/s")
+            except Exception as e:  # e.g. HBM OOM at the largest batch
+                _eprint(f"KITTI train step (b={bk}) failed: "
+                        f"{type(e).__name__}")
         cfg_k = Config(patch_height=240, patch_width=1216, batch_size=3,
                        max_depth=90.0, num_sample=0).finalize()
-        imgs_k, dt_k = bench_train_step(cfg_k, 3, 240, 1216)
-        _eprint(f"KITTI train step (b=3): {dt_k*1e3:.1f} ms -> {imgs_k:.1f} images/s")
-        infer_k = bench_infer(cfg_k, 240, 1216)
+        infer_k, _ = bench_infer(cfg_k, 240, 1216)
         _eprint(f"KITTI inference (b=1): {infer_k*1e3:.2f} ms/image")
+        cfg_kng = cfg_k.replace(use_GRU=False, prop_impl="xla").finalize()
+        dt_k_xla, var_kng = bench_infer(cfg_kng, 240, 1216, need_inter=False)
+        dt_k_pl, _ = bench_infer(cfg_kng.replace(prop_impl="auto").finalize(),
+                                 240, 1216, need_inter=False,
+                                 variables=var_kng)
+        _eprint(f"KITTI inference b=1 use_GRU=False: xla {dt_k_xla*1e3:.2f} ms"
+                f" | pallas-loop {dt_k_pl*1e3:.2f} ms"
+                f" ({dt_k_xla/dt_k_pl:.2f}x)")
 
         for (b, h, w) in [(12, 228, 304), (4, 240, 1216)]:
             r = bench_prop_kernels(b, h, w)
@@ -209,6 +284,22 @@ def main():
                 f"{name}: {dt*1e6:.0f}us ({k/dt/1e3:.1f}k iters/s)" if dt else f"{name}: n/a"
                 for name, dt in r.items())
             _eprint(f"prop loop {b}x{h}x{w}: {msg}")
+
+        # Non-local (--offset) path: windowed reformulation vs the exact
+        # gather (the old all-backends default), single prop step fwd.
+        r = bench_deform_kernels(12, 228, 304)
+        msg = " | ".join(f"{n}: {dt*1e6:.0f}us" if dt else f"{n}: n/a"
+                         for n, dt in r.items())
+        _eprint(f"deform prop step 12x228x304: {msg}")
+
+        cfg_off = cfg.replace(offset=True).finalize()
+        imgs_off, dt_off = bench_train_step(cfg_off, 12, 228, 304)
+        _eprint(f"NYU offset train step (b=12): {dt_off*1e3:.1f} ms -> "
+                f"{imgs_off:.1f} images/s")
+        imgs_offb, dt_offb = bench_train_step(
+            cfg_off.replace(precision="bf16"), 12, 228, 304)
+        _eprint(f"NYU offset train step (b=12, bf16): {dt_offb*1e3:.1f} ms"
+                f" -> {imgs_offb:.1f} images/s")
     except Exception as e:  # context only — never fail the benchmark
         _eprint(f"context benches aborted: {type(e).__name__}: {e}")
 

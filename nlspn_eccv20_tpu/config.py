@@ -98,6 +98,7 @@ class Config:
     affinity: str = "TGASS"                  # AS | ASS | TC | TGASS
     conf_prop: bool = True
     offset: bool = False                     # non-local (deformable-gather) path
+    offset_window: int = 4                   # windowed-gather radius; 0 => always-exact slow path
     prop_impl: str = "auto"                  # auto | xla | pallas — propagation backend
     prop_loop: str = "unroll"                # unroll | scan — propagation loop codegen
     fused_kernels: str = "auto"              # auto | on | off — fused Pallas chain kernels
@@ -130,6 +131,9 @@ class Config:
             raise ValueError(f"unknown network {self.network!r}")
         if self.precision not in ("f32", "bf16"):
             raise ValueError(f"unknown precision {self.precision!r} (f32|bf16)")
+        if self.offset_window < 0:
+            raise ValueError(
+                f"offset_window must be >= 0, got {self.offset_window}")
         if self.prop_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown prop_impl {self.prop_impl!r}")
         if self.prop_loop not in ("unroll", "scan"):
@@ -289,6 +293,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("AS", "ASS", "TC", "TGASS"))
     _add_bool_flag(p, "conf_prop", d.conf_prop)
     p.add_argument("--offset", action="store_true", default=False)
+    p.add_argument("--offset_window", type=int, default=d.offset_window,
+                   help="windowed deformable-gather radius (0 = always-"
+                        "exact slow gather path)")
     p.add_argument("--prop_impl", type=str, default=d.prop_impl,
                    choices=("auto", "xla", "pallas"))
     p.add_argument("--prop_loop", type=str, default=d.prop_loop,

@@ -332,28 +332,117 @@ def _propagate_loop_core(pred, aff, conf=None, dep=None, *, steps: int,
     return out[..., None]
 
 
+def loop_kernel_supported(h: int, w: int, steps: int, kernel: int = 3,
+                          vmem_budget: int = 48 * 2**20) -> bool:
+    """Static check: does a VMEM-admissible W-tiling exist for this shape?"""
+    k2 = kernel * kernel
+    halo = steps * (kernel // 2)
+    return _pick_wtiles(h, w, k2, halo, vmem_budget) is not None
+
+
+def _pure_loop_planar(pred, aff, conf, dep, *, steps: int, kernel: int,
+                      preserve: bool, clip: bool, pre_blend: bool,
+                      has_conf: bool, has_dep: bool):
+    """Pure-JAX mirror of the whole-loop kernel (reference loop semantics,
+    nlspnmodel.py:340-361 with constant affinity). Used for the VJP and as
+    the parity oracle. pred/conf/dep: (B, H, W); aff: (B, K2, H, W)."""
+    cur = pred
+    m = None
+    if has_dep and (preserve or pre_blend):
+        m = (dep > 0.0).astype(pred.dtype)
+    if pre_blend:
+        cur = (1.0 - m) * cur + m * dep
+        if clip:
+            cur = jnp.maximum(cur, 0.0)
+    for _ in range(steps):
+        p = cur * conf if has_conf else cur
+        out = propagate_local_planar(p, aff, kernel=kernel)
+        if preserve and m is not None:
+            out = (1.0 - m) * out + m * dep
+        if clip:
+            out = jnp.maximum(out, 0.0)
+        cur = out
+    return cur
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _loop_op(pred, aff, conf, dep, steps, kernel, preserve, clip, pre_blend,
+             has_conf, has_dep, vmem_budget):
+    """Differentiable whole-loop op, planar layout. conf/dep are always
+    passed (dummies = pred when has_conf/has_dep are False) so the custom
+    VJP has a fixed arity; the dummies are never read and get zero grads."""
+    c = conf[..., None] if has_conf else None
+    d = dep[..., None] if has_dep else None
+    out = _propagate_loop_core(
+        pred[..., None], jnp.moveaxis(aff, 1, -1), conf=c, dep=d,
+        steps=steps, kernel=kernel, preserve=preserve, clip=clip,
+        pre_blend=pre_blend, vmem_budget=vmem_budget)
+    return out[..., 0]
+
+
+def _loop_op_fwd(pred, aff, conf, dep, steps, kernel, preserve, clip,
+                 pre_blend, has_conf, has_dep, vmem_budget):
+    out = _loop_op(pred, aff, conf, dep, steps, kernel, preserve, clip,
+                   pre_blend, has_conf, has_dep, vmem_budget)
+    return out, (pred, aff, conf, dep)
+
+
+def _loop_op_bwd(steps, kernel, preserve, clip, pre_blend, has_conf, has_dep,
+                 vmem_budget, res, g):
+    pred, aff, conf, dep = res
+    _, vjp = jax.vjp(
+        functools.partial(
+            _pure_loop_planar, steps=steps, kernel=kernel, preserve=preserve,
+            clip=clip, pre_blend=pre_blend, has_conf=has_conf,
+            has_dep=has_dep),
+        pred, aff, conf, dep)
+    return vjp(g)
+
+
+_loop_op.defvjp(_loop_op_fwd, _loop_op_bwd)
+
+
+def propagate_loop_pallas_planar(pred, aff, conf=None, dep=None, *,
+                                 steps: int, kernel: int = 3,
+                                 preserve: bool = False, clip: bool = False,
+                                 pre_blend: bool = False,
+                                 vmem_budget: int = 48 * 2**20):
+    """Differentiable whole-loop kernel in planar layout, self-partitioned
+    over an ambient data mesh (ops/pallas/shard.py).
+
+    pred/conf/dep: (B, H, W); aff: (B, K2, H, W). Returns (B, H, W).
+    Forward runs the fused VMEM-resident Pallas loop; backward recomputes
+    through the pure-JAX mirror (deterministic, exact loop semantics).
+    """
+    from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
+
+    has_conf = conf is not None
+    has_dep = dep is not None
+    c = conf if has_conf else pred
+    d = dep if has_dep else pred
+
+    def core(p, a, c_, d_):
+        return _loop_op(p, a, c_, d_, steps, kernel, preserve, clip,
+                        pre_blend, has_conf, has_dep, vmem_budget)
+
+    return shard_over_data(core, (pred, aff, c, d), (True,) * 4)
+
+
 def propagate_loop_pallas(pred, aff, conf=None, dep=None, *, steps: int,
                           kernel: int = 3, preserve: bool = False,
                           clip: bool = False, pre_blend: bool = False,
                           vmem_budget: int = 48 * 2**20):
-    """Whole-loop kernel (see _propagate_loop_core), self-partitioned over
-    an ambient data mesh (ops/pallas/shard.py)."""
-    from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
+    """NHWC wrapper over propagate_loop_pallas_planar.
 
-    args, batched, labels = [pred, aff], [True, True], []
-    if conf is not None:
-        args.append(conf); batched.append(True); labels.append("conf")
-    if dep is not None:
-        args.append(dep); batched.append(True); labels.append("dep")
-
-    def core(p, a, *rest):
-        kw = dict(zip(labels, rest))
-        return _propagate_loop_core(
-            p, a, conf=kw.get("conf"), dep=kw.get("dep"), steps=steps,
-            kernel=kernel, preserve=preserve, clip=clip,
-            pre_blend=pre_blend, vmem_budget=vmem_budget)
-
-    return shard_over_data(core, tuple(args), tuple(batched))
+    pred/conf/dep: (B, H, W, 1); aff: (B, H, W, K2). Returns (B, H, W, 1).
+    """
+    out = propagate_loop_pallas_planar(
+        pred[..., 0], jnp.moveaxis(aff, -1, 1),
+        conf=conf[..., 0] if conf is not None else None,
+        dep=dep[..., 0] if dep is not None else None,
+        steps=steps, kernel=kernel, preserve=preserve, clip=clip,
+        pre_blend=pre_blend, vmem_budget=vmem_budget)
+    return out[..., None]
 
 
 # ---------------------------------------------------------------------------

@@ -79,7 +79,7 @@ def propagate_local(feat: jnp.ndarray, aff: jnp.ndarray, kernel: int = 3) -> jnp
     return out[..., None]
 
 
-def propagate_deformable(
+def propagate_deformable_exact(
     feat: jnp.ndarray,
     offset: jnp.ndarray,
     aff: jnp.ndarray,
@@ -96,6 +96,12 @@ def propagate_deformable(
         (y + dy_j + off_y_j(y, x),  x + dx_j + off_x_j(y, x))
     where (dy_j, dx_j) is the integer kernel shift. Samples fully outside the
     image contribute zero (DCNv2 zero-padding semantics).
+
+    This is the unconditionally-exact formulation, but XLA lowers the
+    per-pixel gather to a scalar(ish) TPU loop: measured 308 ms for ONE
+    step at NYU b=12 (docs/PERFORMANCE.md). Production path is
+    ``propagate_deformable`` below (windowed reformulation + runtime
+    fallback to this one).
     """
     b, h, w, c = feat.shape
     assert c == 1
@@ -134,6 +140,111 @@ def propagate_deformable(
     )
     out = jnp.sum(acc * aff, axis=-1, keepdims=True)
     return out
+
+
+def propagate_deformable_windowed(
+    feat: jnp.ndarray,
+    offset: jnp.ndarray,
+    aff: jnp.ndarray,
+    kernel: int = 3,
+    radius: int = 4,
+) -> jnp.ndarray:
+    """Windowed (shift-and-select) deformable gather — TPU-native form.
+
+    Exact whenever every learned offset component lies in
+    ``[-radius, radius]`` (the center pair is zero by construction and the
+    offset head is zero-initialized, so trained offsets are small local
+    displacements; ``propagate_deformable`` adds a runtime fallback for the
+    rest). The bilinear sample per neighbor is rewritten as a tent-weighted
+    sum over the static integer window around that neighbor's kernel shift:
+
+        out_k(y, x) = sum_{u, v} hat(ty-u) * hat(tx-v) * P(y+u, x+v)
+
+    with ``hat(t) = max(0, 1-|t|)`` and (ty, tx) the total fractional
+    displacement. Every term is a static shifted slice — vector ops the
+    VPU/XLA can fuse, no data-dependent gather. The hat function's
+    piecewise-linear derivative reproduces the CUDA coordinate gradients
+    (``mdmcn_get_coordinate_weight``, modulated_deform_im2col_cuda.cuh:83-125)
+    under plain autodiff, and zero-padded shifts reproduce the CUDA
+    zero-outside-image semantics (cuh:24-54).
+    """
+    b, h, w, c = feat.shape
+    assert c == 1
+    k2 = kernel * kernel
+    assert aff.shape[-1] == k2 and offset.shape[-1] == 2 * k2
+
+    off = offset.reshape(b, h, w, k2, 2)
+    shifts = _neighbor_shifts(kernel)
+    rp = radius + 1 + kernel // 2  # offset + ceil corner + kernel shift
+    p = jnp.pad(feat[..., 0], ((0, 0), (rp, rp), (rp, rp)))
+
+    out = jnp.zeros((b, h, w), feat.dtype)
+    for ki, (dy, dx) in enumerate(shifts):
+        ty = off[..., ki, 0] + dy
+        tx = off[..., ki, 1] + dx
+        a = aff[..., ki]
+        us = range(dy - radius, dy + radius + 2)
+        vs = range(dx - radius, dx + radius + 2)
+        # horizontal tent weights are shared across the row window
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(tx - v)) for v in vs]
+        acc = jnp.zeros((b, h, w), feat.dtype)
+        for u in us:
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty - u))
+            row = jnp.zeros((b, h, w), feat.dtype)
+            for v, wx in zip(vs, wxs):
+                sp = p[:, rp + u:rp + u + h, rp + v:rp + v + w]
+                row = row + sp * wx
+            acc = acc + row * wy
+        out = out + acc * a
+    return out[..., None]
+
+
+def propagate_deformable(
+    feat: jnp.ndarray,
+    offset: jnp.ndarray,
+    aff: jnp.ndarray,
+    kernel: int = 3,
+    radius: int = 4,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Deformable propagation step: windowed fast path + exact fallback.
+
+    Runtime-selects (``lax.cond``) the TPU-friendly windowed formulation
+    when ``max|offset| <= radius`` — true from step 0 (zero-init offset
+    head) through convergence for NLSPN's local displacements — and the
+    unconditionally-exact gather otherwise, so the op is exact for ALL
+    offsets while paying the fast path in the overwhelmingly common case.
+    ``radius=None`` forces the exact path.
+
+    impl: 'auto' | 'xla' | 'pallas' — backend for the windowed fast path.
+    'pallas' uses the fused VMEM-resident kernel
+    (ops/pallas/deform_prop.py); 'auto'/'xla' use the XLA formulation
+    (measured 135x over the exact gather on v5e, docs/PERFORMANCE.md).
+    """
+    if radius is None:
+        return propagate_deformable_exact(feat, offset, aff, kernel=kernel)
+
+    def fast(f, o, a):
+        if impl == "pallas":
+            from nlspn_eccv20_tpu.ops.pallas.deform_prop import (
+                deform_kernel_supported,
+                propagate_deformable_pallas,
+            )
+
+            if deform_kernel_supported(f.shape[1], f.shape[2], kernel,
+                                       radius):
+                return propagate_deformable_pallas(f, o, a, kernel=kernel,
+                                                   radius=radius)
+        return propagate_deformable_windowed(f, o, a, kernel=kernel,
+                                             radius=radius)
+
+    in_range = jnp.max(jnp.abs(offset)) <= radius
+
+    return jax.lax.cond(
+        in_range,
+        fast,
+        lambda f, o, a: propagate_deformable_exact(f, o, a, kernel=kernel),
+        feat, offset, aff)
 
 
 def propagate_step(

@@ -92,7 +92,11 @@ class Predictor:
             model = self.model
 
             def fwd(variables, sample):
-                return model.apply(variables, sample, train=False)["pred"]
+                # need_inter=False: serving only consumes the final pred,
+                # which (with use_GRU=False) unlocks the fused whole-loop
+                # Pallas propagation kernel (4.4x at b=1 on v5e).
+                return model.apply(variables, sample, train=False,
+                                   need_inter=False)["pred"]
 
             self._fns[key] = jax.jit(fwd)
         return self._fns[key]

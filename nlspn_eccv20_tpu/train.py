@@ -133,9 +133,15 @@ class Engine:
             gbatch = batch["rgb"].shape[0]
 
             def loss_of(params):
+                # need_inter=False: loss (reference nlspnloss.py:29-56),
+                # metrics, and TB image grids consume only the final pred;
+                # skipping pred_inter collection lets the constant-affinity
+                # (use_GRU=False) config route through the fused whole-loop
+                # Pallas kernel under prop_impl='pallas'.
                 out, mut = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    batch, train=True, mutable=["batch_stats"])
+                    batch, train=True, need_inter=False,
+                    mutable=["batch_stats"])
                 loss_sum, loss_val = loss_fn(batch, out)
                 return loss_sum / gbatch, (mut["batch_stats"], loss_val / gbatch, out)
 

@@ -156,3 +156,66 @@ class TestTrainMode:
         # TGASS gamma is learnable -> must receive gradient
         g_gamma = grads["aff_scale_const"]
         assert float(jnp.abs(g_gamma[0])) > 0
+
+
+class TestLoopKernelPath:
+    """Constant-affinity whole-loop Pallas path (need_inter=False)."""
+
+    def test_matches_unrolled_xla(self):
+        s = _sample(b=2)
+        cfg_x = Config(prop_time=4, use_GRU=False, prop_impl="xla").finalize()
+        cfg_p = Config(prop_time=4, use_GRU=False,
+                       prop_impl="pallas").finalize()
+        model_x = get_model(cfg_x)
+        variables = model_x.init(jax.random.PRNGKey(0), s, train=False)
+        out_x = model_x.apply(variables, s, train=False)
+        model_p = get_model(cfg_p)
+        assert model_p._use_loop_kernel(False, False, 32, 48)
+        out_p = model_p.apply(variables, s, train=False, need_inter=False)
+        np.testing.assert_allclose(out_p["pred"], out_x["pred"],
+                                   rtol=1e-4, atol=1e-5)
+        # need_inter=False contract: pred_inter holds only the final pred
+        assert len(out_p["pred_inter"]) == 1
+        np.testing.assert_allclose(out_p["pred_inter"][-1], out_x["pred"],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_train_grads_match_xla(self):
+        s = _sample(b=1)
+        gt = s["dep"] + 0.5
+        cfg_x = Config(prop_time=3, use_GRU=False, prop_impl="xla",
+                       zero_init_aff=False).finalize()
+        cfg_p = cfg_x.replace(prop_impl="pallas")
+        model_x, model_p = get_model(cfg_x), get_model(cfg_p)
+        variables = model_x.init(jax.random.PRNGKey(0), s, train=False)
+
+        def loss_fn(model, need_inter):
+            def f(params):
+                out, _ = model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    s, train=True, need_inter=need_inter,
+                    mutable=["batch_stats"])
+                return jnp.mean((out["pred"] - gt) ** 2)
+            return f
+
+        g_x = jax.grad(loss_fn(model_x, True))(variables["params"])
+        g_p = jax.grad(loss_fn(model_p, False))(variables["params"])
+        for (kx, a), (kp, b) in zip(
+                sorted((jax.tree_util.keystr(k), v) for k, v in
+                       jax.tree_util.tree_leaves_with_path(g_x)),
+                sorted((jax.tree_util.keystr(k), v) for k, v in
+                       jax.tree_util.tree_leaves_with_path(g_p))):
+            assert kx == kp
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5,
+                                       err_msg=kx)
+
+    def test_auto_stays_xla_off_tpu(self):
+        from nlspn_eccv20_tpu.ops.pallas.local_prop import (
+            pallas_local_prop_available,
+        )
+        cfg = Config(prop_time=4, use_GRU=False, prop_impl="auto").finalize()
+        model = get_model(cfg)
+        expect = pallas_local_prop_available()  # False on CPU test backend
+        assert model._use_loop_kernel(False, False, 32, 48) == expect
+        # and never during training under 'auto'
+        assert model._use_loop_kernel(False, True, 32, 48) is False

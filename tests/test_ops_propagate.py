@@ -218,6 +218,65 @@ class TestDeformableProp:
             np.testing.assert_allclose(g[0, y, x, c], num, rtol=5e-2, atol=5e-3)
 
 
+
+class TestWindowedDeformable:
+    """Windowed (shift-and-select) reformulation vs the exact gather."""
+
+    def test_windowed_equals_exact_within_radius(self, rng):
+        from nlspn_eccv20_tpu.ops.propagate import (
+            propagate_deformable_exact,
+            propagate_deformable_windowed,
+        )
+        feat = jnp.asarray(rng.normal(size=(2, 7, 9, 1)), jnp.float32)
+        aff = jnp.asarray(rng.normal(size=(2, 7, 9, 9)), jnp.float32)
+        off = jnp.asarray(rng.normal(size=(2, 7, 9, 18)), jnp.float32)
+        off = jnp.clip(off * 2.0, -4.0, 4.0)
+        out_w = propagate_deformable_windowed(feat, off, aff, radius=4)
+        out_e = propagate_deformable_exact(feat, off, aff)
+        np.testing.assert_allclose(out_w, out_e, rtol=1e-4, atol=1e-5)
+
+    def test_windowed_grads_match_exact(self, rng):
+        from nlspn_eccv20_tpu.ops.propagate import (
+            propagate_deformable_exact,
+            propagate_deformable_windowed,
+        )
+        feat = jnp.asarray(rng.normal(size=(1, 6, 8, 1)), jnp.float32)
+        aff = jnp.asarray(rng.uniform(size=(1, 6, 8, 9)), jnp.float32)
+        # keep coordinates away from integer lattice points, where the
+        # bilinear derivative is discontinuous and the two formulations
+        # may legitimately pick different one-sided values
+        off = jnp.asarray(rng.uniform(-0.45, 0.45, size=(1, 6, 8, 18)) + 1.5,
+                          jnp.float32)
+
+        def loss(fn):
+            return lambda f, o, a: jnp.sum(fn(f, o, a) ** 2)
+
+        g_w = jax.grad(loss(lambda f, o, a: propagate_deformable_windowed(
+            f, o, a, radius=4)), argnums=(0, 1, 2))(feat, off, aff)
+        g_e = jax.grad(loss(propagate_deformable_exact),
+                       argnums=(0, 1, 2))(feat, off, aff)
+        for a, b in zip(g_w, g_e):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_hybrid_falls_back_beyond_radius(self, rng):
+        from nlspn_eccv20_tpu.ops.propagate import propagate_deformable_exact
+        feat = jnp.asarray(rng.normal(size=(1, 6, 8, 1)), jnp.float32)
+        aff = jnp.asarray(rng.normal(size=(1, 6, 8, 9)), jnp.float32)
+        off = jnp.zeros((1, 6, 8, 18), jnp.float32).at[0, 3, 3, 7].set(6.5)
+        out = propagate_deformable(feat, off, aff, radius=4)
+        gold = propagate_deformable_exact(feat, off, aff)
+        np.testing.assert_allclose(out, gold, rtol=1e-5, atol=1e-6)
+
+    def test_hybrid_boundary_offset_exact(self, rng):
+        from nlspn_eccv20_tpu.ops.propagate import propagate_deformable_exact
+        feat = jnp.asarray(rng.normal(size=(1, 6, 8, 1)), jnp.float32)
+        aff = jnp.asarray(rng.normal(size=(1, 6, 8, 9)), jnp.float32)
+        off = jnp.full((1, 6, 8, 18), 4.0, jnp.float32)  # |off| == radius
+        out = propagate_deformable(feat, off, aff, radius=4)
+        gold = propagate_deformable_exact(feat, off, aff)
+        np.testing.assert_allclose(out, gold, rtol=1e-4, atol=1e-5)
+
+
 class TestPallasLocalProp:
     def test_matches_pure_jax(self, rng):
         feat = jnp.asarray(rng.normal(size=(2, 12, 16, 1)), jnp.float32)
@@ -312,3 +371,96 @@ class TestPallasLoopProp:
         single = propagate_loop_pallas(pred, aff, **kw)
         tiled = propagate_loop_pallas(pred, aff, vmem_budget=budget, **kw)
         np.testing.assert_allclose(tiled, single, rtol=1e-5, atol=1e-6)
+
+    def test_loop_grads_match_pure(self, rng):
+        # the loop kernel is differentiable: its VJP recomputes through the
+        # pure-JAX mirror (_pure_loop_planar)
+        from nlspn_eccv20_tpu.ops.pallas.local_prop import (
+            _pure_loop_planar,
+            propagate_loop_pallas_planar,
+        )
+
+        pred = jnp.asarray(rng.normal(size=(2, 10, 12)), jnp.float32)
+        conf = jnp.asarray(rng.uniform(size=(2, 10, 12)), jnp.float32)
+        dep = jnp.asarray(
+            (rng.uniform(size=(2, 10, 12)) > 0.8) * rng.uniform(size=(2, 10, 12)),
+            jnp.float32)
+        aff = jnp.asarray(rng.normal(size=(2, 9, 10, 12)) * 0.2, jnp.float32)
+
+        def f_pallas(p, c, a):
+            return jnp.sum(propagate_loop_pallas_planar(
+                p, a, conf=c, dep=dep, steps=4, preserve=True, clip=True,
+                pre_blend=True) ** 2)
+
+        def f_pure(p, c, a):
+            return jnp.sum(_pure_loop_planar(
+                p, a, c, dep, steps=4, kernel=3, preserve=True, clip=True,
+                pre_blend=True, has_conf=True, has_dep=True) ** 2)
+
+        # forward parity first
+        np.testing.assert_allclose(
+            f_pallas(pred, conf, aff), f_pure(pred, conf, aff),
+            rtol=1e-4, atol=1e-5)
+        g1 = jax.grad(f_pallas, argnums=(0, 1, 2))(pred, conf, aff)
+        g2 = jax.grad(f_pure, argnums=(0, 1, 2))(pred, conf, aff)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+class TestPallasDeformable:
+    """Fused windowed deformable kernel (ops/pallas/deform_prop.py),
+    interpret mode on the CPU test backend."""
+
+    def test_matches_windowed_and_exact(self, rng):
+        from nlspn_eccv20_tpu.ops.pallas.deform_prop import (
+            propagate_deformable_pallas,
+        )
+        from nlspn_eccv20_tpu.ops.propagate import (
+            propagate_deformable_exact,
+            propagate_deformable_windowed,
+        )
+        feat = jnp.asarray(rng.normal(size=(2, 7, 9, 1)), jnp.float32)
+        aff = jnp.asarray(rng.normal(size=(2, 7, 9, 9)), jnp.float32)
+        off = jnp.clip(
+            jnp.asarray(rng.normal(size=(2, 7, 9, 18)) * 2.0, jnp.float32),
+            -4.0, 4.0)
+        out = propagate_deformable_pallas(feat, off, aff, radius=4)
+        gold_w = propagate_deformable_windowed(feat, off, aff, radius=4)
+        gold_e = propagate_deformable_exact(feat, off, aff)
+        np.testing.assert_allclose(out, gold_w, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out, gold_e, rtol=1e-4, atol=1e-5)
+
+    def test_grads_match_windowed(self, rng):
+        from nlspn_eccv20_tpu.ops.pallas.deform_prop import (
+            propagate_deformable_pallas,
+        )
+        from nlspn_eccv20_tpu.ops.propagate import (
+            propagate_deformable_windowed,
+        )
+        feat = jnp.asarray(rng.normal(size=(1, 6, 8, 1)), jnp.float32)
+        aff = jnp.asarray(rng.uniform(size=(1, 6, 8, 9)), jnp.float32)
+        off = jnp.asarray(rng.uniform(-0.45, 0.45, size=(1, 6, 8, 18)) + 1.0,
+                          jnp.float32)
+
+        def loss(fn):
+            return lambda f, o, a: jnp.sum(fn(f, o, a) ** 2)
+
+        g_p = jax.grad(loss(lambda f, o, a: propagate_deformable_pallas(
+            f, o, a, radius=4)), argnums=(0, 1, 2))(feat, off, aff)
+        g_w = jax.grad(loss(lambda f, o, a: propagate_deformable_windowed(
+            f, o, a, radius=4)), argnums=(0, 1, 2))(feat, off, aff)
+        for a, b in zip(g_p, g_w):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_impl_pallas_via_dispatcher(self, rng):
+        from nlspn_eccv20_tpu.ops.propagate import (
+            propagate_deformable_exact,
+        )
+        feat = jnp.asarray(rng.normal(size=(1, 6, 8, 1)), jnp.float32)
+        aff = jnp.asarray(rng.normal(size=(1, 6, 8, 9)), jnp.float32)
+        off = jnp.clip(
+            jnp.asarray(rng.normal(size=(1, 6, 8, 18)), jnp.float32),
+            -4.0, 4.0)
+        out = propagate_deformable(feat, off, aff, radius=4, impl="pallas")
+        gold = propagate_deformable_exact(feat, off, aff)
+        np.testing.assert_allclose(out, gold, rtol=1e-4, atol=1e-5)
