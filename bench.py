@@ -12,9 +12,18 @@ overhead, not compute (validated against an 8192^3 matmul reaching ~187
 TFLOP/s device-side while "finishing" in 0.05 ms wall). Off-TPU the wall
 clock is trusted.
 
-Also measured and printed to stderr as context: single-image inference
-latency and propagation-kernel microbenchmarks (XLA vs Pallas per-step vs
-Pallas whole-loop).
+Context rows (each printed to stderr the moment it completes, so a driver
+timeout can never lose the whole record — VERDICT r2 item 2): bf16
+training, KITTI fp32/bf16 training, b=1 inference at NYU and KITTI with
+both prop routings, the offset (non-local) train step, deform-kernel
+comparison, and the propagation-loop microbenches.
+
+Wall-clock budget: BENCH_BUDGET_S (default 1500 s). Each context section
+declares a cost estimate; sections that do not fit the remaining budget
+are skipped WITH A LOG LINE (no silent truncation). The headline JSON is
+always printed first. BENCH_EXACT_GATHER=1 opts into the ~300 ms/call
+exact-gather row (off by default; its 135x loss to the windowed form is
+already pinned in docs/PERFORMANCE.md).
 
 vs_baseline: ratio against the first recorded run on this hardware
 (bench_baseline.json, created on first run) — the reference publishes no
@@ -29,9 +38,27 @@ import os
 import sys
 import time
 
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
 
 def _eprint(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _fits(name: str, est_s: float) -> bool:
+    """Budget gate for a context section. est_s = worst-case cold cost
+    (compile + run); skips are logged, never silent."""
+    rem = _remaining()
+    if rem < est_s:
+        _eprint(f"[budget] SKIP {name}: est {est_s:.0f}s > {rem:.0f}s left")
+        return False
+    _eprint(f"[budget] {name} (est {est_s:.0f}s, {rem:.0f}s left)")
+    return True
 
 
 def measure(fn, *args, calls: int = 8, warmup: int = 2) -> float:
@@ -102,6 +129,20 @@ def bench_infer(cfg, h, w, need_inter=True, variables=None):
     return measure(fwd, variables, sample, calls=8, warmup=2), variables
 
 
+def bench_infer_routings(cfg, h, w, tag):
+    """b=1 use_GRU=False inference: xla vs forced-pallas vs auto routing."""
+    cfg_ng = cfg.replace(use_GRU=False, prop_impl="xla").finalize()
+    dt_xla, var = bench_infer(cfg_ng, h, w, need_inter=False)
+    dt_pal, _ = bench_infer(cfg_ng.replace(prop_impl="pallas").finalize(),
+                            h, w, need_inter=False, variables=var)
+    dt_auto, _ = bench_infer(cfg_ng.replace(prop_impl="auto").finalize(),
+                             h, w, need_inter=False, variables=var)
+    _eprint(f"{tag} inference b=1 use_GRU=False: xla {dt_xla*1e3:.2f} ms"
+            f" | pallas-loop {dt_pal*1e3:.2f} ms ({dt_xla/dt_pal:.2f}x)"
+            f" | auto {dt_auto*1e3:.2f} ms ({dt_xla/dt_auto:.2f}x)")
+    return dt_xla, dt_pal, dt_auto
+
+
 def bench_prop_kernels(b, h, w, steps=12):
     import jax
     import jax.numpy as jnp
@@ -168,19 +209,8 @@ def bench_deform_kernels(b, h, w):
     results["windowed"] = measure(
         jax.jit(lambda f, o, a: propagate_deformable_windowed(
             f, o, a, radius=4)), feat, off, aff)
-    try:
-        from nlspn_eccv20_tpu.ops.pallas.deform_prop import (
-            propagate_deformable_pallas,
-        )
-
-        results["pallas"] = measure(
-            jax.jit(lambda f, o, a: propagate_deformable_pallas(
-                f, o, a, radius=4)), feat, off, aff)
-    except Exception as e:
-        results["pallas"] = None
-        _eprint(f"  deform pallas unavailable: {type(e).__name__}")
-    if not os.environ.get("BENCH_SKIP_EXACT_GATHER"):
-        # the old exact-gather path is ~300 ms/call; keep calls low
+    if os.environ.get("BENCH_EXACT_GATHER"):
+        # the exact-gather path is ~300 ms/call; opt-in only
         results["exact_gather"] = measure(
             jax.jit(lambda f, o, a: propagate_deformable_exact(f, o, a)),
             feat, off, aff, calls=2, warmup=1)
@@ -194,7 +224,8 @@ def main():
     from nlspn_eccv20_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    _eprint(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    _eprint(f"backend: {jax.default_backend()}, devices: {jax.devices()}, "
+            f"budget: {_BUDGET_S:.0f}s")
 
     cfg = Config(patch_height=228, patch_width=304, batch_size=12,
                  prop_impl="auto").finalize()
@@ -226,82 +257,90 @@ def main():
     if os.environ.get("BENCH_HEADLINE_ONLY"):
         return
 
-    try:
-        cfg_bf16 = cfg.replace(precision="bf16")
-        imgs_bf16, dt_bf16 = bench_train_step(cfg_bf16, 12, 228, 304)
-        _eprint(f"NYU train step (b=12, bf16): {dt_bf16*1e3:.1f} ms -> {imgs_bf16:.1f} images/s")
+    # Context sections, most important first; each is individually
+    # budget-gated and exception-isolated so one failure/skip never costs
+    # the rows after it. Cost estimates are COLD (first-compile) numbers;
+    # with the persistent compile cache warm they run in seconds.
+    def section(name, est_s, fn):
+        if not _fits(name, est_s):
+            return
+        try:
+            fn()
+        except Exception as e:
+            _eprint(f"{name} failed: {type(e).__name__}: {e}")
 
-        infer_dt, _ = bench_infer(cfg, 228, 304)
-        _eprint(f"NYU inference (b=1): {infer_dt*1e3:.2f} ms/image")
+    def s_nyu_bf16():
+        imgs, dt = bench_train_step(cfg.replace(precision="bf16"),
+                                    12, 228, 304)
+        _eprint(f"NYU train step (b=12, bf16): {dt*1e3:.1f} ms -> "
+                f"{imgs:.1f} images/s")
 
-        # Constant-affinity (use_GRU=False, upstream-NLSPN default) serving:
-        # 'auto' routes the whole propagation loop through the fused Pallas
-        # VMEM-resident kernel; 'xla' is the per-step fused baseline.
-        cfg_ng = cfg.replace(use_GRU=False, prop_impl="xla").finalize()
-        dt_ng_xla, var_ng = bench_infer(cfg_ng, 228, 304, need_inter=False)
-        cfg_ng_p = cfg_ng.replace(prop_impl="auto").finalize()
-        dt_ng_pl, _ = bench_infer(cfg_ng_p, 228, 304, need_inter=False,
-                                  variables=var_ng)
-        _eprint(f"NYU inference b=1 use_GRU=False: xla {dt_ng_xla*1e3:.2f} ms"
-                f" | pallas-loop {dt_ng_pl*1e3:.2f} ms"
-                f" ({dt_ng_xla/dt_ng_pl:.2f}x)")
-
-        # KITTI DC headline config (240x1216 after top_crop; BASELINE.md):
-        # batch sized to chip HBM; reference trains this on 8x P40.
-        for bk in (3, 4, 6):
-            try:
-                cfg_k = Config(patch_height=240, patch_width=1216,
-                               batch_size=bk, max_depth=90.0,
-                               num_sample=0).finalize()
-                imgs_k, dt_k = bench_train_step(cfg_k, bk, 240, 1216)
-                _eprint(f"KITTI train step (b={bk}): {dt_k*1e3:.1f} ms -> "
-                        f"{imgs_k:.1f} images/s")
-                if bk == 3:
-                    imgs_kb, dt_kb = bench_train_step(
-                        cfg_k.replace(precision="bf16"), bk, 240, 1216)
-                    _eprint(f"KITTI train step (b={bk}, bf16): "
-                            f"{dt_kb*1e3:.1f} ms -> {imgs_kb:.1f} images/s")
-            except Exception as e:  # e.g. HBM OOM at the largest batch
-                _eprint(f"KITTI train step (b={bk}) failed: "
-                        f"{type(e).__name__}")
+    def s_kitti_train():
         cfg_k = Config(patch_height=240, patch_width=1216, batch_size=3,
                        max_depth=90.0, num_sample=0).finalize()
-        infer_k, _ = bench_infer(cfg_k, 240, 1216)
-        _eprint(f"KITTI inference (b=1): {infer_k*1e3:.2f} ms/image")
-        cfg_kng = cfg_k.replace(use_GRU=False, prop_impl="xla").finalize()
-        dt_k_xla, var_kng = bench_infer(cfg_kng, 240, 1216, need_inter=False)
-        dt_k_pl, _ = bench_infer(cfg_kng.replace(prop_impl="auto").finalize(),
-                                 240, 1216, need_inter=False,
-                                 variables=var_kng)
-        _eprint(f"KITTI inference b=1 use_GRU=False: xla {dt_k_xla*1e3:.2f} ms"
-                f" | pallas-loop {dt_k_pl*1e3:.2f} ms"
-                f" ({dt_k_xla/dt_k_pl:.2f}x)")
+        imgs, dt = bench_train_step(cfg_k, 3, 240, 1216)
+        _eprint(f"KITTI train step (b=3): {dt*1e3:.1f} ms -> "
+                f"{imgs:.1f} images/s")
 
-        for (b, h, w) in [(12, 228, 304), (4, 240, 1216)]:
-            r = bench_prop_kernels(b, h, w)
-            k = 12 * b
-            msg = " | ".join(
-                f"{name}: {dt*1e6:.0f}us ({k/dt/1e3:.1f}k iters/s)" if dt else f"{name}: n/a"
-                for name, dt in r.items())
-            _eprint(f"prop loop {b}x{h}x{w}: {msg}")
+    def s_kitti_bf16():
+        cfg_k = Config(patch_height=240, patch_width=1216, batch_size=3,
+                       max_depth=90.0, num_sample=0,
+                       precision="bf16").finalize()
+        imgs, dt = bench_train_step(cfg_k, 3, 240, 1216)
+        _eprint(f"KITTI train step (b=3, bf16): {dt*1e3:.1f} ms -> "
+                f"{imgs:.1f} images/s")
 
-        # Non-local (--offset) path: windowed reformulation vs the exact
-        # gather (the old all-backends default), single prop step fwd.
+    def s_nyu_infer():
+        dt, _ = bench_infer(cfg, 228, 304)
+        _eprint(f"NYU inference (b=1): {dt*1e3:.2f} ms/image")
+
+    def s_nyu_routing():
+        bench_infer_routings(cfg, 228, 304, "NYU")
+
+    def s_kitti_routing():
+        cfg_k = Config(patch_height=240, patch_width=1216, batch_size=3,
+                       max_depth=90.0, num_sample=0).finalize()
+        bench_infer_routings(cfg_k, 240, 1216, "KITTI")
+
+    def s_offset_train():
+        cfg_off = cfg.replace(offset=True).finalize()
+        imgs, dt = bench_train_step(cfg_off, 12, 228, 304)
+        _eprint(f"NYU offset train step (b=12): {dt*1e3:.1f} ms -> "
+                f"{imgs:.1f} images/s")
+
+    def s_offset_bf16():
+        cfg_off = cfg.replace(offset=True, precision="bf16").finalize()
+        imgs, dt = bench_train_step(cfg_off, 12, 228, 304)
+        _eprint(f"NYU offset train step (b=12, bf16): {dt*1e3:.1f} ms -> "
+                f"{imgs:.1f} images/s")
+
+    def s_deform():
         r = bench_deform_kernels(12, 228, 304)
         msg = " | ".join(f"{n}: {dt*1e6:.0f}us" if dt else f"{n}: n/a"
                          for n, dt in r.items())
         _eprint(f"deform prop step 12x228x304: {msg}")
 
-        cfg_off = cfg.replace(offset=True).finalize()
-        imgs_off, dt_off = bench_train_step(cfg_off, 12, 228, 304)
-        _eprint(f"NYU offset train step (b=12): {dt_off*1e3:.1f} ms -> "
-                f"{imgs_off:.1f} images/s")
-        imgs_offb, dt_offb = bench_train_step(
-            cfg_off.replace(precision="bf16"), 12, 228, 304)
-        _eprint(f"NYU offset train step (b=12, bf16): {dt_offb*1e3:.1f} ms"
-                f" -> {imgs_offb:.1f} images/s")
-    except Exception as e:  # context only — never fail the benchmark
-        _eprint(f"context benches aborted: {type(e).__name__}: {e}")
+    def s_prop_micro():
+        for (b, h, w) in [(12, 228, 304), (1, 228, 304),
+                          (4, 240, 1216), (1, 240, 1216)]:
+            r = bench_prop_kernels(b, h, w)
+            k = 12 * b
+            msg = " | ".join(
+                f"{name}: {dt*1e6:.0f}us ({k/dt/1e3:.1f}k iters/s)"
+                if dt else f"{name}: n/a" for name, dt in r.items())
+            _eprint(f"prop loop {b}x{h}x{w}: {msg}")
+
+    section("nyu_bf16_train", 120, s_nyu_bf16)
+    section("kitti_train", 180, s_kitti_train)
+    section("kitti_bf16_train", 150, s_kitti_bf16)
+    section("nyu_infer", 60, s_nyu_infer)
+    section("nyu_infer_routings", 150, s_nyu_routing)
+    section("kitti_infer_routings", 240, s_kitti_routing)
+    section("offset_train", 180, s_offset_train)
+    section("offset_bf16_train", 150, s_offset_bf16)
+    section("deform_kernels", 60, s_deform)
+    section("prop_microbench", 120, s_prop_micro)
+    _eprint(f"[budget] done with {_remaining():.0f}s to spare")
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ def main():
         _, dt = bench_train_step(cfgb, 12, 228, 304)
         print(f"  bf16 train step: {dt*1e3:.1f} ms", flush=True)
     for _ in range(reps):
-        dt = bench_infer(cfg, 228, 304)
+        dt, _ = bench_infer(cfg, 228, 304)
         print(f"  infer b=1: {dt*1e3:.2f} ms", flush=True)
 
 

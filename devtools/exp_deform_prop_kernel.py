@@ -1,3 +1,20 @@
+"""EXCISED from ops/pallas/ (round 3; spaceconv precedent).
+
+Negative result, pinned: this kernel compiles + passes parity in
+interpret mode and at toy shapes, but on this attachment's Mosaic stack it
+is unusable at model shapes — round 2 recorded tpu_compile_helper crashes
+at 228x304 / 240x1216 plane shapes for both the ~900-slice unrolled
+select-window body and the lane-dim take_along_axis variant, and a round-3
+re-probe (/tmp/deform_probe-style, 12x228x304) did not finish compiling
+within 9 minutes. The production non-local path is the XLA windowed
+shift-and-select form (ops/propagate.propagate_deformable_windowed, 135x
+the naive gather, ~850 G elem-op/s, within ~4x of the v5e VPU ceiling) —
+a Pallas win here is bounded and not reachable on this stack.
+
+Kept under devtools for a future Mosaic stack; original module docstring
+follows.
+"""
+
 """Fused Pallas TPU kernel for the non-local (deformable-gather) propagation.
 
 Replaces the reference's DCNv2 CUDA op in its degenerate NLSPN configuration

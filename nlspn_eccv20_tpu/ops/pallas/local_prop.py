@@ -340,6 +340,24 @@ def loop_kernel_supported(h: int, w: int, steps: int, kernel: int = 3,
     return _pick_wtiles(h, w, k2, halo, vmem_budget) is not None
 
 
+def loop_kernel_profitable(b: int, h: int, w: int) -> bool:
+    """Measured v5e routing boundary for 'auto' (r03 calibration, 12-step
+    fp32 loop, device time — table in docs/PERFORMANCE.md):
+
+        1x228x304   xla 165us  loop  36us   4.6x   <- wins
+        1x240x1216  xla 425us  loop  97us   4.4x   <- wins
+        1x480x640   xla 417us  loop 121us   3.5x   <- wins
+        1x120x160   xla  10us  loop  15us   0.69x  <- loses (tiny plane)
+        2x228x304   xla  55us  loop  69us   0.79x  <- loses
+        4..12 x any xla wins 0.74-0.84x            <- loses
+
+    The kernel wins exactly at per-call batch 1 on non-tiny planes, where
+    XLA's per-step fused loop falls into a degenerate b=1 layout; at b>=2
+    XLA's loop is strictly faster. The plane-size threshold (2^16 px) puts
+    228x304 (69k px, wins 4.6x) in and 120x160 (19k px, loses) out."""
+    return b == 1 and h * w >= 65536
+
+
 def _pure_loop_planar(pred, aff, conf, dep, *, steps: int, kernel: int,
                       preserve: bool, clip: bool, pre_blend: bool,
                       has_conf: bool, has_dep: bool):
@@ -418,6 +436,11 @@ def propagate_loop_pallas_planar(pred, aff, conf=None, dep=None, *,
 
     has_conf = conf is not None
     has_dep = dep is not None
+    if (preserve or pre_blend) and not has_dep:
+        # Without this the Pallas forward would blend against the `pred`
+        # dummy while the pure-JAX VJP mirror (guarded on has_dep) skips
+        # the blend — wrong output AND a fwd/bwd inconsistency (ADVICE r2).
+        raise ValueError("preserve/pre_blend require dep to be passed")
     c = conf if has_conf else pred
     d = dep if has_dep else pred
 

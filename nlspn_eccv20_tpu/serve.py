@@ -93,8 +93,12 @@ class Predictor:
 
             def fwd(variables, sample):
                 # need_inter=False: serving only consumes the final pred,
-                # which (with use_GRU=False) unlocks the fused whole-loop
-                # Pallas propagation kernel (4.4x at b=1 on v5e).
+                # which (with use_GRU=False) lets 'auto' route the
+                # propagation loop through the fused whole-loop Pallas
+                # kernel where it measurably wins — per-request batch 1 on
+                # non-tiny planes, 3.5-4.6x on v5e (loop_kernel_profitable;
+                # batched requests stay on XLA's per-step loop, which is
+                # faster there — docs/PERFORMANCE.md).
                 return model.apply(variables, sample, train=False,
                                    need_inter=False)["pred"]
 

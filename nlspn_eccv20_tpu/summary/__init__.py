@@ -163,7 +163,7 @@ class Summary:
         if self.cfg.save_result_only:
             # KITTI submission format: 16-bit PNG, clamp(pred) * 256
             # (reference nlspnsummary.py:172-182; README.md:302).
-            pred = np.clip(np.asarray(output["pred"])[b, ..., 0], 0, None)
+            pred = np.clip(_host_local(output["pred"])[b, ..., 0], 0, None)
             img = (pred * 256.0).astype(np.uint16)
             Image.fromarray(img).save(
                 os.path.join(self.path_output, f"{idx:010d}.png"))
@@ -177,31 +177,33 @@ class Summary:
             Image.fromarray(_colormap(arr, vmax)).save(
                 os.path.join(out_dir, name))
 
-        rgb = (_unnormalize_rgb(np.asarray(sample["rgb"])[b]) * 255).astype(
+        rgb = (_unnormalize_rgb(_host_local(sample["rgb"])[b]) * 255).astype(
             np.uint8)
         Image.fromarray(rgb).save(os.path.join(out_dir, "01_rgb.png"))
-        _save_cm(np.asarray(sample["dep"])[b, ..., 0], "02_dep.png")
-        pred = np.clip(np.asarray(output["pred"])[b, ..., 0], 0, None)
+        _save_cm(_host_local(sample["dep"])[b, ..., 0], "02_dep.png")
+        pred = np.clip(_host_local(output["pred"])[b, ..., 0], 0, None)
         _save_cm(pred, "05_pred_final.png")
         # grayscale final pred (reference 05_pred_final_gray.png)
         gray = (np.clip(pred / max(vmax, 1e-8), 0, 1) * 255).astype(np.uint8)
         Image.fromarray(gray).save(
             os.path.join(out_dir, "05_pred_final_gray.png"))
-        _save_cm(np.asarray(sample["gt"])[b, ..., 0], "06_gt.png")
+        _save_cm(_host_local(sample["gt"])[b, ..., 0], "06_gt.png")
         if output.get("pred_init") is not None:
-            _save_cm(np.asarray(output["pred_init"])[b, ..., 0],
+            _save_cm(_host_local(output["pred_init"])[b, ..., 0],
                      "03_pred_init.png")
-        if output.get("pred_inter") is not None:
+        # empty list = per-iteration preds not collected (need_inter=False
+        # fast path, models/nlspn.py) — skip rather than mislabel.
+        if output.get("pred_inter"):
             for t, p in enumerate(output["pred_inter"]):
-                _save_cm(np.asarray(p)[b, ..., 0],
+                _save_cm(_host_local(p)[b, ..., 0],
                          f"04_pred_prop_{t:02d}.png")
         if output.get("offset") is not None:
             np.save(os.path.join(out_dir, "offset.npy"),
-                    np.asarray(output["offset"])[b:b + 1])
+                    _host_local(output["offset"])[b:b + 1])
         np.save(os.path.join(out_dir, "aff.npy"),
-                np.asarray(output["aff"])[b:b + 1])
+                _host_local(output["aff"])[b:b + 1])
         np.save(os.path.join(out_dir, "gamma.npy"),
-                np.asarray(output["gamma"]))
+                _host_local(output["gamma"]))
 
     def close(self):
         if self._tb:

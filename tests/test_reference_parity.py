@@ -135,6 +135,25 @@ def _mdcn_forward_torch(input, weight, bias, offset, mask,
     return out + bias.view(1, -1, 1, 1)
 
 
+def _mdcn_apply_differentiable(input, offset, mask, weight, bias,
+                               stride, padding, dilation, groups,
+                               deformable_groups, im2col_step):
+    """Differentiable drop-in for ModulatedDeformConvFunction.apply
+    (reference modulated_deform_conv_func.py:17-36): same forward
+    semantics, but plain torch ops so autograd provides the backward —
+    the reference Function's backward needs the CUDA-only
+    DCN.modulated_deform_conv_backward. Lets trajectory/gradient parity
+    cover the --offset path."""
+    def _pair(v):
+        return (v, v) if isinstance(v, int) else tuple(v)
+
+    kh, kw = weight.shape[2], weight.shape[3]
+    (sh, sw), (ph, pw), (dh, dw) = map(_pair, (stride, padding, dilation))
+    return _mdcn_forward_torch(input, weight, bias, offset, mask,
+                               kh, kw, sh, sw, ph, pw, dh, dw,
+                               groups, deformable_groups, im2col_step)
+
+
 def _install_stubs():
     if "DCN" not in sys.modules:
         dcn = types.ModuleType("DCN")
@@ -154,7 +173,13 @@ def _install_stubs():
 
 def _ref_model(args):
     _install_stubs()
+    import model.nlspnmodel as _refmod  # noqa: E402 (reference)
     from model.nlspnmodel import NLSPNModel  # noqa: E402 (reference)
+
+    # Backward through the non-local gather: swap the CUDA-bound autograd
+    # Function for the differentiable pure-torch stub (same forward).
+    _refmod.ModulatedDeformConvFunction = types.SimpleNamespace(
+        apply=_mdcn_apply_differentiable)
 
     torch.manual_seed(0)
     m = NLSPNModel(args)
@@ -376,7 +401,24 @@ def test_gradient_parity():
     close("gamma", t_grads["aff_scale_const"], g["aff_scale_const"])
 
 
-def test_training_trajectory_parity():
+@pytest.mark.parametrize("kw,loss_tol,final_tol", [
+    # shallow loop: tightest bound on the per-step math
+    ({"prop_time": 2}, 5e-3, 2e-2),
+    # FORK DEFAULT depth: prop_time=12 with a GRU affinity refresh before
+    # 11 of the 12 steps (reference config.py:246-249, nlspnmodel.py:
+    # 365-373) — compounding through 11 refreshes x 20 optimizer steps is
+    # where trajectory drift would hide (VERDICT r2 item 6). f32
+    # accumulation-order noise grows with depth; tolerances scaled
+    # accordingly and still catch any systematic (>1%/step) divergence.
+    ({"prop_time": 12}, 2e-2, 5e-2),
+    # non-local (--offset) path: learned offsets through the deformable
+    # bilinear gather, backward via the differentiable torch stub vs our
+    # windowed formulation (note the lattice-point subgradient difference
+    # documented in PARITY.md — offsets move off the integer lattice
+    # after step 1, so a 20-step trajectory bounds its real effect).
+    ({"prop_time": 4, "offset": True}, 2e-2, 5e-2),
+])
+def test_training_trajectory_parity(kw, loss_tol, final_tol):
     """Multi-step TRAINING parity: 20 Adam steps over cycling batches, ours
     vs the reference implementation from identical weights/data/optimizer
     (reference main.py:205-256 semantics: loss_sum / batch_size, Adam
@@ -395,7 +437,7 @@ def test_training_trajectory_parity():
         import_nlspn_state_dict,
     )
 
-    a = _args(prop_time=2, patch_height=32, patch_width=48)
+    a = _args(patch_height=32, patch_width=48, **kw)
     n_steps, n_batches, bsz = 20, 4, 2
     lr = 1e-3
 
@@ -477,7 +519,7 @@ def test_training_trajectory_parity():
 
     # per-step losses track (compounding drift stays bounded)
     for s, (tv, jv) in enumerate(zip(t_losses, j_losses)):
-        assert abs(tv - jv) / max(abs(tv), 1.0) < 5e-3, \
+        assert abs(tv - jv) / max(abs(tv), 1.0) < loss_tol, \
             (s, tv, jv, t_losses, j_losses)
     # both trajectories actually optimized
     assert j_losses[-1] < j_losses[0] * 0.9
@@ -493,7 +535,7 @@ def test_training_trajectory_parity():
     for t_v, j_v in final_pairs:
         t_v, j_v = np.asarray(t_v), np.asarray(j_v)
         scale = max(np.max(np.abs(t_v)), 1e-8)
-        assert np.max(np.abs(t_v - j_v)) / scale < 2e-2
+        assert np.max(np.abs(t_v - j_v)) / scale < final_tol
 
 
 def test_torch_checkpoint_file_roundtrip(tmp_path):

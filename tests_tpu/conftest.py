@@ -4,7 +4,8 @@ Unlike tests/ (hermetic, CPU-pinned — see tests/conftest.py), this suite
 runs on the REAL attached TPU and exists to pin device-specific behavior
 that cannot be observed on the CPU backend:
 
-  * the XLA deconv-chain gradient miscompile (test_xla_deconv_grad_bug.py)
+  * the decode_aff tail gradient vs a float64 analytic oracle, incl. the
+    ReLU-boundary subgradient story (test_dec_aff_tail_grad.py)
   * end-to-end training convergence on-chip (test_convergence.py)
 
 Run with:
