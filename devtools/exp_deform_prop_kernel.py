@@ -1,4 +1,6 @@
-"""EXCISED from ops/pallas/ (round 3; spaceconv precedent).
+"""Fused Pallas TPU kernel for the non-local (deformable-gather) propagation.
+
+EXCISED from ops/pallas/ (round 3; spaceconv precedent).
 
 Negative result, pinned: this kernel compiles + passes parity in
 interpret mode and at toy shapes, but on this attachment's Mosaic stack it
@@ -13,9 +15,6 @@ a Pallas win here is bounded and not reachable on this stack.
 
 Kept under devtools for a future Mosaic stack; original module docstring
 follows.
-"""
-
-"""Fused Pallas TPU kernel for the non-local (deformable-gather) propagation.
 
 Replaces the reference's DCNv2 CUDA op in its degenerate NLSPN configuration
 (frozen all-ones 1x(1)x3x3 weight, zero bias — nlspnmodel.py:107-121,204-208,

@@ -77,22 +77,32 @@ class S2D(nn.Module):
 
     @nn.compact
     def __call__(self, dep, train: bool = False):
+        # Cascaded pyramid: a k+2 min/max pool is EXACTLY a 3x3 pool of
+        # the k pool (max is associative/idempotent and the -inf SAME
+        # padding is its identity, so the composition is bitwise equal to
+        # the reference's direct k x k windows, nlspnmodel.py:414-436).
+        # Direct windows total 9+25+...+169 = 454 window-elements/pixel;
+        # the cascade needs 10 3x3 pools = 90 — measured >2x faster at
+        # b=1 serving where this pyramid was 40% of latency (1.07 ms of
+        # 2.6 ms, r03 per-op profile).
+        def mp3(x):
+            return jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1),
+                ((0, 0), (1, 1), (1, 1)))
+
         pools = []
         d = dep[..., 0].astype(jnp.float32)  # (B, H, W) planar
-        for s in (3, 5, 7, 9):
-            p = s // 2
-            neg = jnp.where(d == 0.0, -999.0, -d)
-            z = -jax.lax.reduce_window(
-                neg, -jnp.inf, jax.lax.max, (1, s, s), (1, 1, 1),
-                ((0, 0), (p, p), (p, p)))
-            z = jnp.where(z == 999.0, 0.0, z)
-            pools.append(z)
-        for s in (11, 13):
-            p = s // 2
-            z = jax.lax.reduce_window(
-                d, -jnp.inf, jax.lax.max, (1, s, s), (1, 1, 1),
-                ((0, 0), (p, p), (p, p)))
-            pools.append(z)
+        neg = jnp.where(d == 0.0, -999.0, -d)
+        m = neg
+        for _ in (3, 5, 7, 9):  # min pyramid via chained 3x3 max on -d
+            m = mp3(m)
+            z = -m
+            pools.append(jnp.where(z == 999.0, 0.0, z))
+        m = d
+        for s in range(3, 14, 2):  # max pyramid: keep k=11 and k=13
+            m = mp3(m)
+            if s in (11, 13):
+                pools.append(m)
 
         # 1x1 convs as scalar-weighted plane sums (exact same math as the
         # reference Conv2d(k=1) + bias + relu; param shapes unchanged).
@@ -416,7 +426,8 @@ class Heads(nn.Module):
         return pred_init_p, off_aff_p, conf_p
 
 
-def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off):
+def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off,
+                    train: bool = False):
     """One propagation step + input-preservation blend + optional clamp.
 
     Reference loop body (nlspnmodel.py:350-361), in PLANAR layout:
@@ -427,11 +438,17 @@ def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off):
     """
     feat = pred * conf if conf is not None else pred
     if off is not None:
+        # fallback=not train: the exact-gather cond branch does not
+        # compile inside the unrolled TRAIN step (s32 scatter temps pad
+        # 128x -> OOM, see ops/propagate.propagate_deformable); training
+        # clamps offsets into the window instead, eval keeps the exact
+        # runtime fallback.
         out = propagate_deformable(feat[..., None], off,
                                    jnp.moveaxis(aff, 1, -1),
                                    kernel=cfg.prop_kernel,
                                    radius=cfg.offset_window or None,
-                                   impl=cfg.prop_impl)[..., 0]
+                                   impl=cfg.prop_impl,
+                                   fallback=not train)[..., 0]
         if cfg.preserve_input:
             m = (dep > 0.0).astype(out.dtype)
             out = (1.0 - m) * out + m * dep
@@ -476,13 +493,14 @@ class PropStep(nn.Module):
 
     cfg: Config
     dtype: Optional[Any] = None
+    train: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         cfg = self.cfg
         pred = _prop_and_blend(cfg, carry["pred"], carry["aff"],
                                carry.get("conf"), carry.get("dep"),
-                               carry.get("off"))
+                               carry.get("off"), train=self.train)
         carry = dict(carry, pred=pred)
 
         if cfg.use_GRU:
@@ -517,30 +535,29 @@ class NLSPNModel(nn.Module):
         across iterations (use_GRU=False, reference nlspnmodel.py:365-373
         skipped) and the caller does not need per-iteration predictions.
 
-        'auto' enables it only where it measurably wins — per-call batch 1
-        on non-tiny planes (loop_kernel_profitable; 3.5-4.6x on v5e).
-        Round 2 routed ALL non-training constant-affinity calls through it
-        and made b>=2 serving slower (VERDICT r2). 'pallas' forces it
+        'auto' NEVER selects it in-model (round-3 finding, measured +
+        HLO-verified): although the standalone kernel wins 3.5-4.6x at
+        per-call batch 1 on non-tiny planes (loop_kernel_profitable), the
+        custom call's row-major operand-layout pin propagates upstream
+        through XLA layout assignment and degrades the heads/decoder convs
+        by more than the loop saves (net 0.57-0.60x in-model at NYU/KITTI
+        b=1; barrier/reshape firewalls don't stop the propagation — see
+        the in-line note at the call site and docs/PERFORMANCE.md).
+        Round 2 shipped 'auto'->kernel and made serving slower; honest
+        routing keeps XLA in-model. 'pallas' still forces the kernel
         (training included; the custom VJP recomputes through the pure-JAX
-        mirror).
+        mirror) for op-level use, tests, and future stacks.
         """
         cfg = self.cfg
         if cfg.use_GRU or cfg.offset or need_inter or cfg.prop_time < 1:
             return False
-        if cfg.prop_impl == "xla":
+        if cfg.prop_impl != "pallas":
             return False
         from nlspn_eccv20_tpu.ops.pallas.local_prop import (
-            loop_kernel_profitable,
             loop_kernel_supported,
-            pallas_local_prop_available,
         )
 
-        if not loop_kernel_supported(h, w, cfg.prop_time, cfg.prop_kernel):
-            return False
-        if cfg.prop_impl == "pallas":
-            return True  # forced; interpret-mode off-TPU (tests)
-        return (pallas_local_prop_available() and not train
-                and loop_kernel_profitable(b, h, w))
+        return loop_kernel_supported(h, w, cfg.prop_time, cfg.prop_kernel)
 
     @nn.compact
     def __call__(self, sample: Dict[str, jnp.ndarray], train: bool = False,
@@ -639,6 +656,19 @@ class NLSPNModel(nn.Module):
                 propagate_loop_pallas_planar,
             )
 
+            # NOTE (r03, measured): inside the full model this path is
+            # SLOWER than the XLA loop at every tested shape (0.57-0.60x
+            # at NYU/KITTI b=1) even though the standalone kernel wins
+            # 4.4-4.6x there — the custom call pins default row-major
+            # layouts on its operands and XLA layout assignment propagates
+            # that upstream into the heads/decoder convs (HLO-verified:
+            # T(1,128) degenerate conv layouts, +2.6 ms at NYU b=1).
+            # Neither an optimization_barrier nor a reshape sandwich stops
+            # the propagation (both measured identical; flat reshapes are
+            # bitcasts). 'auto' therefore never selects this branch
+            # in-model (_use_loop_kernel); it remains reachable via
+            # prop_impl='pallas' for op-level use and tests.
+
             new_pred = propagate_loop_pallas_planar(
                 new_pred, aff_p, conf=conf_p,
                 dep=dep_p if cfg.preserve_input else None,
@@ -678,7 +708,8 @@ class NLSPNModel(nn.Module):
                     split_rngs={"params": False},
                     length=k - 1,
                 )
-                carry, ys = Scanned(cfg, dtype=dt, name="prop_step")(
+                carry, ys = Scanned(cfg, dtype=dt, train=train,
+                                    name="prop_step")(
                     carry, None)
                 inter = [ys[i] for i in range(k - 1)]
             else:
@@ -686,7 +717,7 @@ class NLSPNModel(nn.Module):
                 # shared, tree identical to the scan path so checkpoints
                 # interchange). Residuals live as individual buffers with
                 # natural layouts — no stacking blowup, no remat recompute.
-                body = PropStep(cfg, dtype=dt, name="prop_step")
+                body = PropStep(cfg, dtype=dt, train=train, name="prop_step")
                 for _ in range(k - 1):
                     carry, y = body(carry, None)
                     inter.append(y)
@@ -694,7 +725,7 @@ class NLSPNModel(nn.Module):
         # Final iteration: propagate only, no GRU refresh (reference k == K).
         new_pred = _prop_and_blend(cfg, carry["pred"], carry["aff"],
                                    carry.get("conf"), carry.get("dep"),
-                                   carry.get("off"))
+                                   carry.get("off"), train=train)
         inter.append(new_pred)
 
         if not cfg.always_clip:

@@ -341,8 +341,12 @@ def loop_kernel_supported(h: int, w: int, steps: int, kernel: int = 3,
 
 
 def loop_kernel_profitable(b: int, h: int, w: int) -> bool:
-    """Measured v5e routing boundary for 'auto' (r03 calibration, 12-step
-    fp32 loop, device time — table in docs/PERFORMANCE.md):
+    """Measured v5e profitability boundary of the STANDALONE whole-loop
+    kernel vs XLA's fused per-step loop (r03 calibration, 12-step fp32
+    loop, device time — table in docs/PERFORMANCE.md). Guidance for
+    op-level callers; NOTE the model's 'auto' does NOT use this — inside
+    the full model the custom call's layout pin costs more than the loop
+    saves (see models/nlspn._use_loop_kernel and PERFORMANCE.md):
 
         1x228x304   xla 165us  loop  36us   4.6x   <- wins
         1x240x1216  xla 425us  loop  97us   4.4x   <- wins

@@ -206,15 +206,29 @@ def propagate_deformable(
     kernel: int = 3,
     radius: int = 4,
     impl: str = "auto",
+    fallback: bool = True,
 ) -> jnp.ndarray:
     """Deformable propagation step: windowed fast path + exact fallback.
 
-    Runtime-selects (``lax.cond``) the TPU-friendly windowed formulation
-    when ``max|offset| <= radius`` — true from step 0 (zero-init offset
-    head) through convergence for NLSPN's local displacements — and the
-    unconditionally-exact gather otherwise, so the op is exact for ALL
-    offsets while paying the fast path in the overwhelmingly common case.
-    ``radius=None`` forces the exact path.
+    fallback=True (inference): runtime-selects (``lax.cond``) the
+    TPU-friendly windowed formulation when ``max|offset| <= radius`` —
+    true from step 0 (zero-init offset head) through convergence for
+    NLSPN's local displacements — and the unconditionally-exact gather
+    otherwise, so the op is exact for ALL offsets while paying the fast
+    path in the overwhelmingly common case.
+
+    fallback=False (training): clamp offsets into ``[-radius, radius]``
+    and run the windowed form unconditionally. Rationale (r03, measured):
+    a ``lax.cond`` compiles BOTH branches, and the exact gather's
+    backward materializes s32 scatter-index temporaries shaped
+    ``[B, H*W*K2, 1]`` whose trailing singleton pads 128x on TPU —
+    3.57 GB apiece, x12 unrolled steps = the full-model --offset TRAIN
+    step does not compile at NYU batch 12 (tpu_compile_helper OOM). The
+    clamp is exact whenever offsets stay in the window (their regime by
+    construction — zero-init head, local displacements; the clamp's zero
+    gradient beyond the window also keeps escaped offsets from drifting
+    further), and eval/test still runs the exact-fallback form.
+    ``radius=None`` forces the exact path regardless.
 
     impl: accepted for API symmetry with the local path; every impl uses
     the XLA windowed formulation (measured 135x over the exact gather on
@@ -231,6 +245,9 @@ def propagate_deformable(
         # negative result is pinned there and in docs/PERFORMANCE.md).
         return propagate_deformable_windowed(f, o, a, kernel=kernel,
                                              radius=radius)
+
+    if not fallback:
+        return fast(feat, jnp.clip(offset, -radius, radius), aff)
 
     in_range = jnp.max(jnp.abs(offset)) <= radius
 

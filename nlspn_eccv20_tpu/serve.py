@@ -93,12 +93,11 @@ class Predictor:
 
             def fwd(variables, sample):
                 # need_inter=False: serving only consumes the final pred,
-                # which (with use_GRU=False) lets 'auto' route the
-                # propagation loop through the fused whole-loop Pallas
-                # kernel where it measurably wins — per-request batch 1 on
-                # non-tiny planes, 3.5-4.6x on v5e (loop_kernel_profitable;
-                # batched requests stay on XLA's per-step loop, which is
-                # faster there — docs/PERFORMANCE.md).
+                # which skips per-iteration collection. The propagation
+                # loop runs XLA's fused per-step form under 'auto' — the
+                # whole-loop Pallas kernel, despite winning 4.4-4.6x
+                # standalone at b=1, loses in-model to custom-call layout
+                # propagation (docs/PERFORMANCE.md; r03 measurement).
                 return model.apply(variables, sample, train=False,
                                    need_inter=False)["pred"]
 

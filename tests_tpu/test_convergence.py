@@ -8,15 +8,19 @@ actual *training* on the real chip: the full fork-default model (resnet18
 below 1e-2 m within a bounded step budget when overfitting a fixed batch.
 
 Round-3 fix of the round-2 red gate: with a CONSTANT lr=1e-3 the RMSE
-plateaued at ~0.012 — optimization noise floor, not a training deficiency
-(0.062 -> 0.012 in 1200 steps, loss finite). The production trainer never
-runs a constant LR: the reference decays 1.0/0.2/0.04 over its 20-epoch
-recipe (config.py:183-187, utility.py:22-33). Mapping the same piecewise
-decay into the overfit budget (300-step "epochs", decay at 2/3/4) drives
-the plateau through the threshold with margin; both precisions must pass.
+plateaued at ~0.012 — the Adam noise floor at that LR, not a training
+deficiency (0.062 -> 0.012 in 1200 steps, loss finite). The production
+trainer never runs a constant LR: the reference decays 1.0/0.2/0.04 over
+its 20-epoch recipe (config.py:183-187, utility.py:22-33). Device
+calibration (r03, two schedule grids): decaying too early (step 300)
+freezes progress at 0.0132; decaying right at the floor (step 900) drives
+RMSE through 1e-2 at ~step 1000 and to 0.0087 by 1800 — measured history
+[..., 0.01018@1000, 0.00958@1200, 0.00899@1500]. The gate runs that
+schedule with an early break at <1e-2; bf16 tracked fp32 within 2e-4 at
+every probe in the grid, so both precisions must pass the same bar.
 
-Runtime: ~2-4 min warm per precision (compile cache), dominated by the
-first compile.
+Runtime: ~2-4 min warm compile per precision + ~1000-1100 steps to the
+early break (dispatch-bound on this attachment).
 """
 
 import numpy as np
@@ -56,14 +60,14 @@ def test_overfit_synthetic_to_near_zero_rmse(precision):
     from nlspn_eccv20_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    steps_budget = 1200
+    steps_budget = 1500
     b, h, w = 2, 64, 96
     cfg = Config(patch_height=h, patch_width=w, batch_size=b,
                  lr=1e-3, warm_up=False, precision=precision,
-                 decay="2,3,4", gamma="1.0,0.2,0.04").finalize()
+                 decay="3,4,5", gamma="1.0,0.2,0.04").finalize()
     batch, gt = _make_batch(b, h, w)
 
-    eng = Engine(cfg, steps_per_epoch=300)  # decay at steps 300/600/900
+    eng = Engine(cfg, steps_per_epoch=450)  # 1e-3 to 900, 2e-4 to 1349, 4e-5
     state = eng.init_state((h, w))
     step = eng.train_step_fn()
     placed = eng.put_train_batch(batch)
