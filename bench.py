@@ -18,7 +18,7 @@ training, KITTI fp32/bf16 training, b=1 inference at NYU and KITTI with
 both prop routings, the offset (non-local) train step, deform-kernel
 comparison, and the propagation-loop microbenches.
 
-Wall-clock budget: BENCH_BUDGET_S (default 1200 s). Each context section
+Wall-clock budget: BENCH_BUDGET_S (default 1680 s). Each context section
 declares a cost estimate; sections that do not fit the remaining budget
 are skipped WITH A LOG LINE (no silent truncation). The headline JSON is
 always printed first. BENCH_EXACT_GATHER=1 opts into the ~300 ms/call
@@ -39,7 +39,7 @@ import sys
 import time
 
 _T0 = time.monotonic()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1680"))
 
 
 def _eprint(*a):
@@ -338,14 +338,19 @@ def main():
     # Cost estimates are COLD first-compile numbers measured on this
     # attachment (r03 warm-up run); with the persistent compile cache warm
     # each section runs in seconds and the budget never bites.
+    # The offset sections' executables are persistently cached (compiled
+    # once in the r03 warm-up; ~35-55 min cold otherwise) — estimates
+    # assume the cache. A cold cache overruns the budget once; the rows
+    # printed so far are never lost (incremental stderr) and the next run
+    # is warm.
     section("nyu_bf16_train", 120, s_nyu_bf16)
     section("kitti_train", 240, s_kitti_train)
     section("kitti_bf16_train", 200, s_kitti_bf16)
+    section("offset_train", 200, s_offset_train)
+    section("offset_bf16_train", 180, s_offset_bf16)
     section("nyu_infer", 90, s_nyu_infer)
     section("nyu_infer_routings", 200, s_nyu_routing)
     section("kitti_infer_routings", 300, s_kitti_routing)
-    section("offset_train", 900, s_offset_train)
-    section("offset_bf16_train", 700, s_offset_bf16)
     section("deform_kernels", 90, s_deform)
     section("prop_microbench", 180, s_prop_micro)
     _eprint(f"[budget] done with {_remaining():.0f}s to spare")

@@ -692,8 +692,17 @@ class NLSPNModel(nn.Module):
             }
 
         inter = []
+        # The non-local (--offset) windowed gather inlines ~900 shifted
+        # slices per step; UNROLLED x12 steps that graph makes XLA's
+        # optimizer pathological (r03 measured: CPU compile >28 min and
+        # still going vs 3.2 min under scan; TPU 35-55 min unrolled). The
+        # scan body compiles once, so offset configs always run the scan
+        # loop — the unroll-vs-scan runtime tradeoff (module docstring)
+        # was measured for the default fixed-local path, where unroll
+        # stays the default.
+        loop_impl = "scan" if (cfg.offset and k > 2) else cfg.prop_loop
         if k > 1:
-            if cfg.prop_loop == "scan":
+            if loop_impl == "scan":
                 # Compact HLO / fast compile, but the scan STACKS every
                 # iteration's backward residuals along a leading axis, and
                 # XLA's layouts for those stacked small-channel tensors pad
