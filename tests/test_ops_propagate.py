@@ -321,6 +321,36 @@ class TestWindowedDeformable:
             feat, off_eps, aff)
         np.testing.assert_allclose(g_w2, g_e2, rtol=1e-4, atol=1e-4)
 
+    def test_train_mode_clamps_instead_of_fallback(self, rng):
+        """fallback=False (the TRAIN path, r03): offsets beyond the window
+        are clamped into it and the windowed form runs unconditionally —
+        no lax.cond, no exact-gather branch (whose backward cannot compile
+        inside the unrolled train step on TPU; docs/PERFORMANCE.md).
+        In-window inputs are bitwise identical to the fallback path."""
+        from nlspn_eccv20_tpu.ops.propagate import (
+            propagate_deformable_windowed,
+        )
+        feat = jnp.asarray(rng.normal(size=(1, 6, 8, 1)), jnp.float32)
+        aff = jnp.asarray(rng.normal(size=(1, 6, 8, 9)), jnp.float32)
+        # one escaped offset component
+        off = jnp.zeros((1, 6, 8, 18), jnp.float32).at[0, 3, 3, 7].set(6.5)
+        out = propagate_deformable(feat, off, aff, radius=4, fallback=False)
+        gold = propagate_deformable_windowed(
+            feat, jnp.clip(off, -4.0, 4.0), aff, radius=4)
+        np.testing.assert_allclose(out, gold, rtol=1e-6, atol=1e-7)
+        # in-window: identical to the fallback=True (cond) result
+        off_in = jnp.clip(jnp.asarray(rng.normal(size=(1, 6, 8, 18)),
+                                      jnp.float32), -3, 3)
+        np.testing.assert_allclose(
+            propagate_deformable(feat, off_in, aff, radius=4,
+                                 fallback=False),
+            propagate_deformable(feat, off_in, aff, radius=4),
+            rtol=1e-6, atol=1e-7)
+        # gradient flows through the clamp for in-window offsets
+        g = jax.grad(lambda o: jnp.sum(propagate_deformable(
+            feat, o, aff, radius=4, fallback=False) ** 2))(off_in)
+        assert float(jnp.sum(jnp.abs(g))) > 0
+
     def test_hybrid_falls_back_beyond_radius(self, rng):
         from nlspn_eccv20_tpu.ops.propagate import propagate_deformable_exact
         feat = jnp.asarray(rng.normal(size=(1, 6, 8, 1)), jnp.float32)
