@@ -23,8 +23,9 @@ from nlspn_eccv20_tpu.models import get_model
 from nlspn_eccv20_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
-h, w = 228, 304
 impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+h = int(sys.argv[2]) if len(sys.argv) > 3 else 228
+w = int(sys.argv[3]) if len(sys.argv) > 3 else 304
 
 rng = np.random.default_rng(0)
 sample = {
