@@ -229,8 +229,16 @@ def main():
     from nlspn_eccv20_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    cache_dir = os.path.expanduser("~/.cache/nlspn_eccv20_tpu/xla")
+    n_cached = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
     _eprint(f"backend: {jax.default_backend()}, devices: {jax.devices()}, "
             f"budget: {_BUDGET_S:.0f}s")
+    # The section cost estimates below assume a WARM persistent compile
+    # cache; a cold cache pays full XLA compiles (up to ~35-55 min for the
+    # offset sections) and the budget gate will skip sections. Rows already
+    # printed are never lost (incremental stderr) and the next run is warm.
+    _eprint(f"compile cache: {'WARM' if n_cached else 'COLD'} "
+            f"({n_cached} entries at {cache_dir})")
 
     cfg = Config(patch_height=228, patch_width=304, batch_size=12,
                  prop_impl="auto").finalize()
@@ -302,6 +310,16 @@ def main():
     def s_nyu_routing():
         bench_infer_routings(cfg, 228, 304, "NYU")
 
+    def s_kitti_infer():
+        # fork-default (GRU-on) KITTI b=1 serving — the number VERDICT r3
+        # flagged as dropped between r02 (36.66 ms) and r03; keep it in
+        # every BENCH record with a trend note.
+        cfg_k = Config(patch_height=240, patch_width=1216, batch_size=1,
+                       max_depth=90.0, num_sample=0).finalize()
+        dt, _ = bench_infer(cfg_k, 240, 1216)
+        _eprint(f"KITTI inference fork-default (b=1): {dt*1e3:.2f} ms/image"
+                f" (r02: 36.66 ms)")
+
     def s_kitti_routing():
         cfg_k = Config(patch_height=240, patch_width=1216, batch_size=3,
                        max_depth=90.0, num_sample=0).finalize()
@@ -349,6 +367,7 @@ def main():
     section("offset_train", 200, s_offset_train)
     section("offset_bf16_train", 180, s_offset_bf16)
     section("nyu_infer", 90, s_nyu_infer)
+    section("kitti_infer_fork_default", 120, s_kitti_infer)
     section("nyu_infer_routings", 200, s_nyu_routing)
     section("kitti_infer_routings", 300, s_kitti_routing)
     section("deform_kernels", 90, s_deform)

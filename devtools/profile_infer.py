@@ -24,6 +24,8 @@ from nlspn_eccv20_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 impl = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+if len(sys.argv) == 3:
+    sys.exit("usage: profile_infer.py [impl] [height width] — give BOTH dims")
 h = int(sys.argv[2]) if len(sys.argv) > 3 else 228
 w = int(sys.argv[3]) if len(sys.argv) > 3 else 304
 

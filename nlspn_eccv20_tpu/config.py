@@ -91,6 +91,10 @@ class Config:
     zero_init_aff: bool = True
     network: str = "resnet18"                # resnet18 | resnet34
     from_scratch: bool = False
+    # Directory holding torchvision resnet18/34 ImageNet state_dicts, looked
+    # up as {dir}/{network}.pth — the reference's hard-coded model_path dict
+    # (/root/reference/src/model/common.py:21-24).
+    dir_pretrain_backbone: str = "pretrained"
     prop_time: int = 12
     preserve_input: bool = True
     always_clip: bool = False
@@ -99,6 +103,7 @@ class Config:
     conf_prop: bool = True
     offset: bool = False                     # non-local (deformable-gather) path
     offset_window: int = 4                   # windowed-gather radius; 0 => always-exact slow path
+    offset_neighbor_loop: str = "unroll"     # unroll | scan — windowed-gather neighbor codegen
     prop_impl: str = "auto"                  # auto | xla | pallas — propagation backend
     prop_loop: str = "unroll"                # unroll | scan — propagation loop codegen
     fused_kernels: str = "auto"              # auto | on | off — fused Pallas chain kernels
@@ -134,6 +139,9 @@ class Config:
         if self.offset_window < 0:
             raise ValueError(
                 f"offset_window must be >= 0, got {self.offset_window}")
+        if self.offset_neighbor_loop not in ("unroll", "scan"):
+            raise ValueError(
+                f"unknown offset_neighbor_loop {self.offset_neighbor_loop!r}")
         if self.prop_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown prop_impl {self.prop_impl!r}")
         if self.prop_loop not in ("unroll", "scan"):
@@ -285,6 +293,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--network", type=str, default=d.network,
                    choices=("resnet18", "resnet34"))
     p.add_argument("--from_scratch", action="store_true", default=False)
+    p.add_argument("--dir_pretrain_backbone", type=str,
+                   default=d.dir_pretrain_backbone,
+                   help="dir with torchvision {resnet18,resnet34}.pth "
+                        "ImageNet weights (reference common.py:21-24)")
     p.add_argument("--prop_time", type=int, default=d.prop_time)
     _add_bool_flag(p, "preserve_input", d.preserve_input)
     p.add_argument("--always_clip", action="store_true", default=False)
@@ -296,6 +308,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offset_window", type=int, default=d.offset_window,
                    help="windowed deformable-gather radius (0 = always-"
                         "exact slow gather path)")
+    p.add_argument("--offset_neighbor_loop", type=str,
+                   default=d.offset_neighbor_loop,
+                   choices=("unroll", "scan"),
+                   help="windowed-gather neighbor-loop codegen")
     p.add_argument("--prop_impl", type=str, default=d.prop_impl,
                    choices=("auto", "xla", "pallas"))
     p.add_argument("--prop_loop", type=str, default=d.prop_loop,

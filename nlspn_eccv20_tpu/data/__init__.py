@@ -8,7 +8,22 @@ but in NHWC numpy layout, feeding a threaded host-side loader
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def resolve_split_json(path: str) -> str:
+    """Resolve a split-JSON path: as given if it exists, else (for relative
+    paths) against the repo root, where ``data_json/`` is vendored — so the
+    default ``--split_json data_json/nyu.json`` works from any cwd (the
+    reference assumes cwd == repo root, src/config.py:37-40)."""
+    if os.path.isfile(path) or os.path.isabs(path):
+        return path
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(repo_root, path)
+    return cand if os.path.isfile(cand) else path
 
 
 class BaseDataset:

@@ -38,7 +38,9 @@ class NYU(BaseDataset):
 
     def __init__(self, cfg, mode):
         super().__init__(cfg, mode)
-        with open(cfg.split_json) as f:
+        from nlspn_eccv20_tpu.data import resolve_split_json
+
+        with open(resolve_split_json(cfg.split_json)) as f:
             self.sample_list = json.load(f)[mode]
         self.augment = cfg.augment
 

@@ -29,7 +29,12 @@ from nlspn_eccv20_tpu.parallel.mesh import (
     maybe_initialize_distributed,
 )
 from nlspn_eccv20_tpu.summary import get_summary
-from nlspn_eccv20_tpu.train import Engine, TrainState, load_pretrained_params
+from nlspn_eccv20_tpu.train import (
+    Engine,
+    TrainState,
+    init_backbone_pretrained,
+    load_pretrained_params,
+)
 from nlspn_eccv20_tpu.utils.backup import backup_source_code
 from nlspn_eccv20_tpu.utils.checkpoint import CheckpointManager
 
@@ -90,6 +95,10 @@ def train(cfg: Config):
     loader_val = _loader(cfg, data_val, "val",
                          batch_size=engine.eval_batch_per_host)
     state = engine.init_state((cfg.patch_height, cfg.patch_width))
+    # ImageNet backbone init (reference common.py:21-42); a resume/pretrain
+    # restore below replaces every parameter, matching the reference order
+    # (construct-with-pretrained, then load checkpoint on top).
+    state = init_backbone_pretrained(cfg, state)
 
     ckpt = CheckpointManager(cfg)
     start_epoch = 1
@@ -103,13 +112,21 @@ def train(cfg: Config):
             # The LR schedule derives epoch boundaries from
             # steps_per_epoch; a silently different loader length on
             # resume would shift every warm-up/decay boundary.
-            saved_spe = int(restored.pop("steps_per_epoch"))
-            if saved_spe != steps_per_epoch:
+            saved_spe = restored.pop("steps_per_epoch", None)
+            if saved_spe is not None and int(saved_spe) != steps_per_epoch:
                 raise ValueError(
                     f"resume with steps_per_epoch={steps_per_epoch} but the "
                     f"checkpoint was trained with {saved_spe} (dataset or "
                     f"shard count changed); the LR schedule would shift. "
                     f"Start a fresh run or restore with --pretrain instead.")
+            if "opt_state" not in restored:
+                # weights-only (--no_save_full) checkpoint: fresh optimizer,
+                # LR schedule resumed by step count (reference prints the
+                # same notice and continues, main.py:140-149).
+                print("State dicts for resume are not saved. "
+                      "Use --save_full argument")
+                restored["step"] = np.asarray(latest * steps_per_epoch,
+                                              np.int32)
             state = state.replace(**restored)
             start_epoch = latest + 1
             print(f"resumed from epoch {latest}")
@@ -144,6 +161,7 @@ def train(cfg: Config):
                   f"{cfg.save_dir} ===")
 
         last_train = (None, None)
+        off_max_epoch = 0.0
         for b, batch in enumerate(loader_train):
             if cfg.test_pipeline and b == 1:
                 break
@@ -156,6 +174,9 @@ def train(cfg: Config):
                 writer_train.add(np.asarray(aux["loss_val"]),
                                  np.asarray(aux["metric"]))
                 last_train = (sharded, aux["output"])
+                if "off_max" in aux:
+                    off_max_epoch = max(off_max_epoch,
+                                        float(np.asarray(aux["off_max"])))
             if cfg.profile and epoch == start_epoch and b == 3:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
@@ -165,15 +186,23 @@ def train(cfg: Config):
         dt = time.time() - t0
         if is_main_process():
             rate = num_img / max(dt, 1e-9)
+            off_note = (f" | max|offset| {off_max_epoch:.3f}"
+                        if cfg.offset else "")
             print(f"train epoch {epoch}: {num_img} images in {dt:.1f}s "
-                  f"({rate:.1f} images/s)")
+                  f"({rate:.1f} images/s){off_note}")
+            if cfg.offset:
+                from nlspn_eccv20_tpu.train import check_offset_telemetry
+
+                check_offset_telemetry(cfg, off_max_epoch)
+                writer_train.scalar("Etc/max_offset", off_max_epoch, epoch)
             # last batch's sample/output -> TB image grid + Etc/gamma
             # (reference main.py:261)
             writer_train.update(epoch, *last_train)
             ckpt.save(epoch, jax.device_get(
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "opt_state": state.opt_state, "step": state.step,
-                 "steps_per_epoch": np.asarray(steps_per_epoch, np.int32)}))
+                 "steps_per_epoch": np.asarray(steps_per_epoch, np.int32)}),
+                full=cfg.save_full or epoch == cfg.epochs)
 
         # ---- validation (sharded over the mesh, padded rows dropped) ----
         last = (None, None)

@@ -448,7 +448,9 @@ def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off,
                                    kernel=cfg.prop_kernel,
                                    radius=cfg.offset_window or None,
                                    impl=cfg.prop_impl,
-                                   fallback=not train)[..., 0]
+                                   fallback=not train,
+                                   neighbor_loop=cfg.offset_neighbor_loop,
+                                   )[..., 0]
         if cfg.preserve_input:
             m = (dep > 0.0).astype(out.dtype)
             out = (1.0 - m) * out + m * dep
@@ -529,7 +531,7 @@ class NLSPNModel(nn.Module):
         return jnp.bfloat16 if self.cfg.precision == "bf16" else jnp.float32
 
     def _use_loop_kernel(self, need_inter: bool, train: bool,
-                         b: int, h: int, w: int) -> bool:
+                         h: int, w: int) -> bool:
         """Route the whole propagation loop through the fused Pallas loop
         kernel (ops/pallas/local_prop.py) when the affinity is constant
         across iterations (use_GRU=False, reference nlspnmodel.py:365-373
@@ -647,8 +649,8 @@ class NLSPNModel(nn.Module):
             carry["gamma"] = gamma
 
         k = cfg.prop_time
-        b_, h_, w_ = new_pred.shape[0], new_pred.shape[1], new_pred.shape[2]
-        if self._use_loop_kernel(need_inter, train, b_, h_, w_):
+        h_, w_ = new_pred.shape[1], new_pred.shape[2]
+        if self._use_loop_kernel(need_inter, train, h_, w_):
             # Constant-affinity fast path: all K propagate+blend+clip steps
             # fused in one VMEM-resident Pallas kernel (the pre-loop k==1
             # blend above already happened, so pre_blend=False).

@@ -199,6 +199,58 @@ def propagate_deformable_windowed(
     return out[..., None]
 
 
+def propagate_deformable_windowed_scan(
+    feat: jnp.ndarray,
+    offset: jnp.ndarray,
+    aff: jnp.ndarray,
+    kernel: int = 3,
+    radius: int = 4,
+) -> jnp.ndarray:
+    """``propagate_deformable_windowed`` with a ``lax.scan`` over neighbors.
+
+    Bit-identical math; the K2 neighbor bodies (each (2r+2)^2 shifted
+    slices) collapse into ONE traced body + dynamic slices at traced
+    shift starts, cutting HLO size ~K2x. Measured to decide the offset
+    train-step routing (VERDICT r3 item 5); see docs/PERFORMANCE.md.
+    """
+    b, h, w, c = feat.shape
+    assert c == 1
+    k2 = kernel * kernel
+    assert aff.shape[-1] == k2 and offset.shape[-1] == 2 * k2
+
+    off = offset.reshape(b, h, w, k2, 2)
+    shifts = jnp.asarray(_neighbor_shifts(kernel), jnp.int32)  # (K2, 2)
+    rp = radius + 1 + kernel // 2
+    p = jnp.pad(feat[..., 0], ((0, 0), (rp, rp), (rp, rp)))
+
+    off_t = jnp.moveaxis(off, 3, 0)      # (K2, B, H, W, 2)
+    aff_t = jnp.moveaxis(aff, -1, 0)     # (K2, B, H, W)
+
+    def body(acc, inp):
+        sh, o, a = inp
+        dy, dx = sh[0], sh[1]
+        # recentered window: u', v' in [-radius, radius+1] around the
+        # neighbor shift; tent weight hat(off - u') (== hat(ty - u) of the
+        # unrolled form with u = dy + u')
+        oy, ox = o[..., 0], o[..., 1]
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - v))
+               for v in range(-radius, radius + 2)]
+        racc = jnp.zeros((b, h, w), feat.dtype)
+        for u in range(-radius, radius + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - u))
+            row = jnp.zeros((b, h, w), feat.dtype)
+            for vi, v in enumerate(range(-radius, radius + 2)):
+                sp = jax.lax.dynamic_slice(
+                    p, (0, rp + dy + u, rp + dx + v), (b, h, w))
+                row = row + sp * wxs[vi]
+            racc = racc + row * wy
+        return acc + racc * a, None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((b, h, w), feat.dtype),
+                          (shifts, off_t, aff_t))
+    return out[..., None]
+
+
 def propagate_deformable(
     feat: jnp.ndarray,
     offset: jnp.ndarray,
@@ -207,8 +259,13 @@ def propagate_deformable(
     radius: int = 4,
     impl: str = "auto",
     fallback: bool = True,
+    neighbor_loop: str = "unroll",
 ) -> jnp.ndarray:
     """Deformable propagation step: windowed fast path + exact fallback.
+
+    neighbor_loop: 'unroll' | 'scan' — codegen of the K2-neighbor loop in
+    the windowed form ('scan' collapses the 9 unrolled bodies into one
+    lax.scan body, ~K2x smaller HLO; identical math).
 
     fallback=True (inference): runtime-selects (``lax.cond``) the
     TPU-friendly windowed formulation when ``max|offset| <= radius`` —
@@ -243,6 +300,9 @@ def propagate_deformable(
         # deformable kernel was excised to devtools/exp_deform_prop_kernel
         # (Mosaic cannot compile it at model shapes on this stack — the
         # negative result is pinned there and in docs/PERFORMANCE.md).
+        if neighbor_loop == "scan":
+            return propagate_deformable_windowed_scan(f, o, a, kernel=kernel,
+                                                      radius=radius)
         return propagate_deformable_windowed(f, o, a, kernel=kernel,
                                              radius=radius)
 
@@ -264,17 +324,20 @@ def propagate_step(
     offset=None,
     kernel: int = 3,
     impl: str = "auto",
+    radius: int = 4,
 ) -> jnp.ndarray:
     """One propagation step; dispatches local vs deformable and backend.
 
-    impl: 'auto' | 'xla' | 'pallas', threaded through BOTH branches
-    (VERDICT r2: the deformable branch used to drop it): the local path
-    picks the stencil backend; the deformable path picks the windowed
-    fast-path backend (see propagate_deformable).
+    impl: 'auto' | 'xla' | 'pallas'. On the local path it picks the
+    stencil backend. On the deformable path it is accepted-but-inert:
+    every impl uses the XLA windowed formulation (the Pallas deformable
+    kernel was excised — see propagate_deformable's docstring).
+    radius: deformable windowed-gather radius, forwarded so op-level
+    callers can match ``cfg.offset_window`` (``None`` => exact path).
     """
     if offset is not None:
         return propagate_deformable(feat, offset, aff, kernel=kernel,
-                                    impl=impl)
+                                    impl=impl, radius=radius)
     if impl in ("xla", "auto"):
         return propagate_local(feat, aff, kernel=kernel)
     if impl == "pallas":

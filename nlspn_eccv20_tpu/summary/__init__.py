@@ -80,6 +80,11 @@ class Summary:
         if metric is not None:
             self._metric.append(np.asarray(metric))
 
+    def scalar(self, name: str, value: float, epoch: int):
+        """Ad-hoc TB scalar (e.g. Etc/max_offset telemetry)."""
+        if self._tb:
+            self._tb.add_scalar(name, float(value), epoch)
+
     # ---- epoch-end scalars (reference NLSPNSummary.update) ----
     def update(self, epoch: int, sample=None, output=None) -> Dict[str, float]:
         result = {}

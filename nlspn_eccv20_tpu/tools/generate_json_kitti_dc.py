@@ -96,9 +96,11 @@ def main():
 
     random.seed(args.seed)
     if args.test_data:
+        # reference emits only the 'test' key for the online-test json
+        # (generate_json_KITTI_DC.py:177-222, cf. data_json/kitti_dc_test.json)
         test = _entries_for_selection(args.path_root,
                                       "test_depth_completion_anonymous")
-        data = {"train": [], "val": [], "test": test[:args.num_test]}
+        data = {"test": test[:args.num_test]}
     else:
         train = _entries_for_split(args.path_root, "train")
         val = _entries_for_split(args.path_root, "val")

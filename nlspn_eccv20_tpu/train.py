@@ -158,6 +158,14 @@ class Engine:
             # epoch end by rank 0.
             aux = {"loss": loss, "loss_val": loss_val, "metric": metric,
                    "lr": self.lr_schedule(state.step), "output": out}
+            if cfg.offset and out.get("offset") is not None:
+                # Offset-magnitude telemetry: training clamps offsets into
+                # [-offset_window, offset_window] (ops/propagate.py
+                # fallback=False) while eval runs the exact gather; if
+                # learned offsets escape the window, train and eval
+                # silently diverge. Carry max|offset| so the epoch loop
+                # can surface it (check_offset_telemetry).
+                aux["off_max"] = jnp.max(jnp.abs(out["offset"]))
             return new_state, aux
 
         self._train_step = self._under_mesh(jax.jit(step, donate_argnums=0))
@@ -224,6 +232,76 @@ class Engine:
                 f"Use Engine.eval_batch_per_host to size eval batches.",
                 stacklevel=2)
         return replicate(self.mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+
+
+def check_offset_telemetry(cfg: Config, off_max: float) -> bool:
+    """Warn when learned offsets approach the training clamp window.
+
+    Training runs the windowed gather with offsets clamped into
+    ``[-offset_window, offset_window]`` (exact inside the window, zero
+    gradient beyond it — ops/propagate.py fallback=False) while eval uses
+    the exact gather; offsets escaping the window mean train and eval see
+    different semantics. The CUDA reference (modulated_deform_im2col_cuda
+    .cuh:24-54) is exact everywhere, so this divergence is ours to watch.
+    Returns True when the warning fired.
+    """
+    import warnings
+
+    if not (cfg.offset and cfg.offset_window):
+        return False
+    threshold = 0.8 * cfg.offset_window
+    if off_max > threshold:
+        warnings.warn(
+            f"max|offset| = {off_max:.2f} exceeds 0.8x the training clamp "
+            f"window (offset_window={cfg.offset_window}); if it crosses "
+            f"{cfg.offset_window} the train step clamps while eval gathers "
+            f"exactly (silent train/eval divergence). Raise --offset_window "
+            f"to widen the exact regime.", stacklevel=2)
+        return True
+    return False
+
+
+def init_backbone_pretrained(cfg: Config, state: TrainState) -> TrainState:
+    """ImageNet-pretrained encoder init for the train path.
+
+    The reference loads torchvision resnet18/34 state_dicts from local
+    ``pretrained/*.pth`` files at model construction unless ``--from_scratch``
+    (/root/reference/src/model/common.py:21-42, src/config.py:216-220), and
+    torch.load hard-fails when the file is absent. Here: ``--from_scratch``
+    skips entirely; a missing file under the *default* directory warns loudly
+    (this rig has no ImageNet blobs; synthetic runs must still work) while a
+    missing file under an explicitly-given ``--dir_pretrain_backbone`` raises,
+    preserving the reference's fail-fast contract when the user asked for it.
+    """
+    import os
+    import warnings
+
+    if cfg.from_scratch:
+        return state
+    path = os.path.join(cfg.dir_pretrain_backbone, f"{cfg.network}.pth")
+    if not os.path.isfile(path):
+        default_dir = type(cfg)().dir_pretrain_backbone
+        if cfg.dir_pretrain_backbone != default_dir:
+            raise FileNotFoundError(
+                f"--dir_pretrain_backbone given but {path} does not exist "
+                f"(reference common.py:27-42 requires the torchvision "
+                f"state_dict; pass --from_scratch to train without it)")
+        warnings.warn(
+            f"no ImageNet-pretrained backbone at {path}; training the "
+            f"{cfg.network} encoder FROM SCRATCH. Published NYUv2/KITTI "
+            f"accuracy targets assume pretrained weights — download the "
+            f"torchvision {cfg.network} state_dict to {path} or pass "
+            f"--from_scratch to silence this warning.", stacklevel=2)
+        return state
+    from nlspn_eccv20_tpu.utils.torch_import import apply_resnet_pretrained
+
+    variables = apply_resnet_pretrained(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)},
+        path, cfg.network)
+    print(f"loaded ImageNet-pretrained {cfg.network} backbone from {path}")
+    return state.replace(params=variables["params"],
+                         batch_stats=variables["batch_stats"])
 
 
 def load_pretrained_params(state: TrainState, ckpt_state: Dict[str, Any],

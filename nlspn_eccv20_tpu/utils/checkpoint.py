@@ -4,9 +4,16 @@ Reference behavior (/root/reference/src/main.py:263-280, SURVEY.md aux):
 per-epoch save of {net, optimizer, scheduler, amp, args} with the previous
 epoch's file deleted; resume restores everything and replaces the config
 from the checkpoint (main.py:57-77). Here: Orbax CheckpointManager with
-max_to_keep=1 (or all when save_full=False semantics differ — we always
-keep 1 like the reference), saving {params, batch_stats, opt_state, step,
-epoch} plus the config JSON alongside.
+max_to_keep=1, saving {params, batch_stats, opt_state, step, ...} plus the
+config JSON alongside.
+
+``--no_save_full`` (reference config.py:202-206): non-final epochs save
+weights only ({net, args} in the reference, main.py:263-275 — here
+params+batch_stats); the caller passes ``full=`` per epoch, matching the
+reference's ``args.save_full or epoch == args.epochs``. Restoring a
+weights-only checkpoint with a full template silently drops the absent
+keys (resume then continues with a fresh optimizer, reference
+main.py:140-149).
 """
 
 from __future__ import annotations
@@ -30,8 +37,14 @@ class CheckpointManager:
                                                  create=True),
         )
 
-    def save(self, epoch: int, state: Dict[str, Any]):
-        """state: pytree dict (params, batch_stats, opt_state, step...)."""
+    WEIGHT_KEYS = ("params", "batch_stats")
+
+    def save(self, epoch: int, state: Dict[str, Any], full: bool = True):
+        """state: pytree dict (params, batch_stats, opt_state, step...).
+
+        full=False keeps only the weight keys (reference {net, args} save)."""
+        if not full:
+            state = {k: state[k] for k in self.WEIGHT_KEYS if k in state}
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
         with open(os.path.join(self.dir, "args.json"), "w") as f:
@@ -46,6 +59,8 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.dir}")
         if template is not None:
+            saved = set(self._mgr.item_metadata(step).keys())
+            template = {k: v for k, v in template.items() if k in saved}
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
         return self._mgr.restore(step)

@@ -50,6 +50,34 @@ class TestCheckpoint:
         assert mgr._mgr.all_steps() == [2]
         mgr.close()
 
+
+    def test_save_full_false_strips_opt_state(self, tmp_path):
+        # reference --no_save_full saves {net, args} only on non-final
+        # epochs (main.py:263-275); resume then restores weights and keeps
+        # a fresh optimizer (main.py:140-149).
+        cfg = _cfg(tmp_path)
+        eng = Engine(cfg, steps_per_epoch=1)
+        state = eng.init_state((16, 24))
+        tree = jax.device_get({"params": state.params,
+                               "batch_stats": state.batch_stats,
+                               "opt_state": state.opt_state,
+                               "step": state.step,
+                               "steps_per_epoch": np.asarray(5, np.int32)})
+        mgr = CheckpointManager(cfg)
+        mgr.save(1, tree, full=False)
+        assert set(mgr._mgr.item_metadata(1).keys()) == {
+            "params", "batch_stats"}
+        # restore with a FULL template silently drops the absent keys
+        restored = mgr.restore(1, template=tree)
+        assert set(restored) == {"params", "batch_stats"}
+        for x, y in zip(jax.tree.leaves(tree["params"]),
+                        jax.tree.leaves(restored["params"])):
+            np.testing.assert_array_equal(x, y)
+        # full save still keeps everything (last epoch always saves full)
+        mgr.save(2, tree, full=True)
+        assert "opt_state" in set(mgr._mgr.item_metadata(2).keys())
+        mgr.close()
+
     def test_config_reload(self, tmp_path):
         cfg = _cfg(tmp_path, max_depth=42.0)
         CheckpointManager(cfg).save(1, {"x": np.zeros(3)})
@@ -155,3 +183,131 @@ class TestTorchImport:
                            "batch_stats": v2["batch_stats"]},
                           sample, train=False)
         assert np.isfinite(np.asarray(out["pred"])).all()
+
+
+def _make_resnet18_sd(torch, seed=0):
+    """Synthesize a torchvision-layout resnet18 layer1-3 state_dict
+    (torchvision itself is not installed in this image)."""
+    g = torch.Generator().manual_seed(seed)
+
+    def bn(pre, c, sd):
+        sd[pre + ".weight"] = torch.randn(c, generator=g) * 0.1 + 1.0
+        sd[pre + ".bias"] = torch.randn(c, generator=g) * 0.1
+        sd[pre + ".running_mean"] = torch.randn(c, generator=g) * 0.1
+        sd[pre + ".running_var"] = torch.rand(c, generator=g) + 0.5
+
+    sd = {}
+    specs = [("layer1", 64, 64, 2, False), ("layer2", 64, 128, 2, True),
+             ("layer3", 128, 256, 2, True)]
+    for layer, cin, cout, blocks, down in specs:
+        for b in range(blocks):
+            ci = cin if b == 0 else cout
+            pre = f"{layer}.{b}"
+            sd[pre + ".conv1.weight"] = torch.randn(cout, ci, 3, 3, generator=g) * 0.05
+            bn(pre + ".bn1", cout, sd)
+            sd[pre + ".conv2.weight"] = torch.randn(cout, cout, 3, 3, generator=g) * 0.05
+            bn(pre + ".bn2", cout, sd)
+            if b == 0 and down:
+                sd[pre + ".downsample.0.weight"] = torch.randn(cout, ci, 1, 1, generator=g) * 0.05
+                bn(pre + ".downsample.1", cout, sd)
+    return sd
+
+
+def _torch_layer1_eval(torch, sd, x):
+    """Eval-mode forward of torchvision layer1 (2 BasicBlocks, no
+    downsample) straight from the state_dict tensors."""
+    import torch.nn.functional as F
+
+    for b in range(2):
+        pre = f"layer1.{b}."
+        idt = x
+        y = F.conv2d(x, sd[pre + "conv1.weight"], padding=1)
+        y = F.batch_norm(y, sd[pre + "bn1.running_mean"],
+                         sd[pre + "bn1.running_var"], sd[pre + "bn1.weight"],
+                         sd[pre + "bn1.bias"], training=False)
+        y = F.relu(y)
+        y = F.conv2d(y, sd[pre + "conv2.weight"], padding=1)
+        y = F.batch_norm(y, sd[pre + "bn2.running_mean"],
+                         sd[pre + "bn2.running_var"], sd[pre + "bn2.weight"],
+                         sd[pre + "bn2.bias"], training=False)
+        x = F.relu(y + idt)
+    return x
+
+
+class TestBackbonePretrainWiring:
+    """init_backbone_pretrained is the train-path hook (main.train calls it
+    right after Engine.init_state); the reference equivalent is pretrained
+    loading at model construction (common.py:21-42 gated by --from_scratch,
+    config.py:216-220)."""
+
+    def _cfg(self, **kw):
+        return Config(data_name="Synthetic", patch_height=16, patch_width=24,
+                      batch_size=2, prop_time=1, use_GRU=False,
+                      prop_impl="xla", compile_cache=False, **kw).finalize()
+
+    def test_wired_path_applies_and_matches_torch_stage(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from nlspn_eccv20_tpu.train import init_backbone_pretrained
+
+        sd = _make_resnet18_sd(torch)
+        torch.save(sd, str(tmp_path / "resnet18.pth"))
+
+        cfg = self._cfg(dir_pretrain_backbone=str(tmp_path))
+        engine = Engine(cfg)
+        state = engine.init_state((16, 24))
+        before = np.asarray(jax.device_get(
+            state.params["conv2"]["block0"]["conv1"]["kernel"]))
+        state = init_backbone_pretrained(cfg, state)
+
+        w = np.asarray(jax.device_get(
+            state.params["conv2"]["block0"]["conv1"]["kernel"]))
+        ref = np.transpose(sd["layer1.0.conv1.weight"].numpy(), (2, 3, 1, 0))
+        np.testing.assert_allclose(w, ref, atol=0)
+        assert not np.allclose(w, before)
+        # batch_stats imported too
+        m = np.asarray(jax.device_get(
+            state.batch_stats["conv2"]["block0"]["bn1"]["BatchNorm_0"]["mean"]))
+        np.testing.assert_allclose(m, sd["layer1.0.bn1.running_mean"].numpy())
+
+        # stage-output parity: our conv2 stage (eval mode, imported weights)
+        # reproduces torch layer1 on the same input
+        x = np.random.RandomState(1).randn(1, 8, 12, 64).astype(np.float32)
+        from nlspn_eccv20_tpu.models.resnet import ResNetStage
+        stage = ResNetStage(64, 2, stride=1)
+        ours = stage.apply(
+            {"params": jax.device_get(state.params["conv2"]),
+             "batch_stats": jax.device_get(state.batch_stats["conv2"])},
+            x, train=False)
+        theirs = _torch_layer1_eval(
+            torch, sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        np.testing.assert_allclose(
+            np.asarray(ours), np.transpose(theirs.numpy(), (0, 2, 3, 1)),
+            atol=2e-5, rtol=1e-5)
+
+    def test_from_scratch_gates(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from nlspn_eccv20_tpu.train import init_backbone_pretrained
+
+        torch.save(_make_resnet18_sd(torch), str(tmp_path / "resnet18.pth"))
+        cfg = self._cfg(dir_pretrain_backbone=str(tmp_path), from_scratch=True)
+        engine = Engine(cfg)
+        state = engine.init_state((16, 24))
+        before = np.asarray(jax.device_get(
+            state.params["conv2"]["block0"]["conv1"]["kernel"]))
+        state2 = init_backbone_pretrained(cfg, state)
+        after = np.asarray(jax.device_get(
+            state2.params["conv2"]["block0"]["conv1"]["kernel"]))
+        np.testing.assert_array_equal(before, after)
+
+    def test_missing_default_warns_missing_explicit_raises(self, tmp_path):
+        from nlspn_eccv20_tpu.train import init_backbone_pretrained
+
+        cfg = self._cfg()  # default dir 'pretrained' (absent here)
+        engine = Engine(cfg)
+        state = engine.init_state((16, 24))
+        with pytest.warns(UserWarning, match="FROM SCRATCH"):
+            init_backbone_pretrained(cfg, state)
+
+        cfg2 = self._cfg(dir_pretrain_backbone=str(tmp_path / "nope"))
+        with pytest.raises(FileNotFoundError):
+            init_backbone_pretrained(cfg2, state)

@@ -170,7 +170,7 @@ class TestLoopKernelPath:
         variables = model_x.init(jax.random.PRNGKey(0), s, train=False)
         out_x = model_x.apply(variables, s, train=False)
         model_p = get_model(cfg_p)
-        assert model_p._use_loop_kernel(False, False, 2, 32, 48)
+        assert model_p._use_loop_kernel(False, False, 32, 48)
         out_p = model_p.apply(variables, s, train=False, need_inter=False)
         np.testing.assert_allclose(out_p["pred"], out_x["pred"],
                                    rtol=1e-4, atol=1e-5)
@@ -217,8 +217,8 @@ class TestLoopKernelPath:
         model = get_model(cfg)
         for b, h, w in [(1, 240, 1216), (2, 240, 1216), (1, 228, 304),
                         (1, 120, 160)]:
-            assert model._use_loop_kernel(False, False, b, h, w) is False
-            assert model._use_loop_kernel(False, True, b, h, w) is False
+            assert model._use_loop_kernel(False, False, h, w) is False
+            assert model._use_loop_kernel(False, True, h, w) is False
         # forced 'pallas' still routes (interpret-mode off-TPU)
         forced = get_model(cfg.replace(prop_impl="pallas"))
-        assert forced._use_loop_kernel(False, False, 1, 240, 1216)
+        assert forced._use_loop_kernel(False, False, 240, 1216)

@@ -122,7 +122,9 @@ class TestGenerateJsonKITTI:
         _run_main(generate_json_kitti_dc,
                   ["--path_root", root, "--path_out", str(out), "--test_data"])
         data = json.loads(out.read_text())
-        assert data["train"] == [] and data["val"] == []
+        # reference online-test json carries only the 'test' key
+        # (generate_json_KITTI_DC.py:177-222)
+        assert set(data) == {"test"}
         assert len(data["test"]) == 3
         # anonymous split has no gt: gt falls back to the sparse depth
         assert data["test"][0]["gt"] == data["test"][0]["depth"]
@@ -277,3 +279,80 @@ class TestPrepareKITTI:
         n = prepare_kitti_dc.prepare_split(dc, str(tmp_path / "raw"), "train")
         assert n == 0
         assert "missing raw sequence" in capsys.readouterr().out
+
+REF_DATA_JSON = "/root/reference/data_json"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA_JSON),
+                    reason="reference checkout not available")
+class TestVendoredSplitJsons:
+    """data_json/ artifacts shipped in this repo must be content-identical
+    to the reference's (data entries only — serialization differs)."""
+
+    def _repo_json(self, name):
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "data_json", name)) as f:
+            return json.load(f)
+
+    def test_nyu_json_matches_reference(self):
+        ours = self._repo_json("nyu.json")
+        with open(os.path.join(REF_DATA_JSON, "nyu.json")) as f:
+            theirs = json.load(f)
+        assert ours == theirs
+        assert {k: len(v) for k, v in ours.items()} == {
+            "train": 45205, "val": 2379, "test": 654}
+
+    def test_kitti_dc_test_json_matches_reference(self):
+        ours = self._repo_json("kitti_dc_test.json")
+        with open(os.path.join(REF_DATA_JSON, "kitti_dc_test.json")) as f:
+            theirs = json.load(f)
+        assert ours == theirs
+        assert len(ours["test"]) == 1000
+
+    def test_generator_schema_matches_reference_entries(self, tmp_path):
+        # generate_json_kitti_dc --test_data over a synthetic tree emits
+        # entries with exactly the reference kitti_dc_test.json schema:
+        # same keys, same relative-path layout, gt aliased to sparse depth.
+        from nlspn_eccv20_tpu.tools import generate_json_kitti_dc
+
+        with open(os.path.join(REF_DATA_JSON, "kitti_dc_test.json")) as f:
+            ref = json.load(f)["test"]
+
+        root = str(tmp_path / "kitti")
+        base = os.path.join(root, "depth_selection",
+                            "test_depth_completion_anonymous")
+        for i in range(2):
+            fn = f"{i:010d}.png"
+            _touch(os.path.join(base, "image", fn))
+            _touch(os.path.join(base, "velodyne_raw", fn))
+            _touch(os.path.join(base, "intrinsics", fn[:-4] + ".txt"))
+        out = tmp_path / "kitti_dc_test.json"
+        _run_main(generate_json_kitti_dc,
+                  ["--path_root", root, "--path_out", str(out), "--test_data"])
+        ours = json.loads(out.read_text())["test"]
+
+        assert list(ours[0]) == list(ref[0]) == ["rgb", "depth", "gt", "K"]
+        for i, entry in enumerate(ours):
+            assert entry["rgb"] == ref[i]["rgb"]
+            assert entry["depth"] == ref[i]["depth"]
+            assert entry["gt"] == ref[i]["gt"]
+            assert entry["K"] == ref[i]["K"]
+
+
+class TestResolveSplitJson:
+    def test_default_resolves_from_any_cwd(self, tmp_path, monkeypatch):
+        from nlspn_eccv20_tpu.data import resolve_split_json
+
+        monkeypatch.chdir(tmp_path)
+        p = resolve_split_json("data_json/nyu.json")
+        assert os.path.isfile(p), p
+        with open(p) as f:
+            assert "train" in json.load(f)
+
+    def test_existing_and_absolute_paths_untouched(self, tmp_path):
+        from nlspn_eccv20_tpu.data import resolve_split_json
+
+        f = tmp_path / "x.json"
+        f.write_text("{}")
+        assert resolve_split_json(str(f)) == str(f)
+        assert resolve_split_json("/no/such/file.json") == "/no/such/file.json"

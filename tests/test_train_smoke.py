@@ -112,3 +112,48 @@ def test_training_reduces_loss(exp_dir):
         state, aux = step(state, placed)
         losses.append(float(jax.device_get(aux["loss"])))
     assert losses[-1] < losses[0], losses
+
+
+def test_offset_telemetry_in_train_aux_and_warning(exp_dir):
+    """VERDICT r3 item 4: max|offset| rides in the train aux for --offset
+    configs, and check_offset_telemetry warns when it nears the clamp
+    window (training clamps into [-offset_window, offset_window] while
+    eval gathers exactly — ops/propagate.py fallback=False)."""
+    import jax
+
+    from nlspn_eccv20_tpu.train import Engine, check_offset_telemetry
+
+    cfg = _small_cfg(exp_dir, offset=True, batch_size=2, prop_time=1)
+    eng = Engine(cfg, steps_per_epoch=1)
+    state = eng.init_state((32, 48))
+    rng = np.random.RandomState(0)
+    batch = {
+        "rgb": rng.randn(2, 32, 48, 3).astype(np.float32),
+        "dep": (rng.rand(2, 32, 48, 1) > 0.9).astype(np.float32) * 3,
+        "gt": rng.rand(2, 32, 48, 1).astype(np.float32) * 3,
+        "K": np.tile(np.asarray([50.0, 50.0, 24.0, 16.0], np.float32),
+                     (2, 1)),
+    }
+    step = eng.train_step_fn()
+    _, aux = step(state, eng.put_train_batch(batch))
+    assert "off_max" in aux
+    off_max = float(np.asarray(jax.device_get(aux["off_max"])))
+    assert np.isfinite(off_max)
+    # zero-init offset head => tiny offsets at step 0, far from the window
+    assert off_max < 0.8 * cfg.offset_window
+
+    # no-offset configs don't carry the scalar
+    cfg2 = _small_cfg(exp_dir, batch_size=2, prop_time=1)
+    eng2 = Engine(cfg2, steps_per_epoch=1)
+    _, aux2 = eng2.train_step_fn()(eng2.init_state((32, 48)),
+                                   eng2.put_train_batch(batch))
+    assert "off_max" not in aux2
+
+    # warning threshold semantics
+    with pytest.warns(UserWarning, match="offset_window"):
+        assert check_offset_telemetry(cfg, 0.9 * cfg.offset_window)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert not check_offset_telemetry(cfg, 0.5 * cfg.offset_window)
+        assert not check_offset_telemetry(cfg2, 100.0)  # offset disabled
