@@ -337,6 +337,14 @@ def main():
         _eprint(f"NYU offset train step (b=12, bf16): {dt*1e3:.1f} ms -> "
                 f"{imgs:.1f} images/s")
 
+    def s_offset_w2():
+        # the r04 throughput recipe (--offset_window 2): exact while
+        # |offset| <= 2, telemetry-guarded; docs/PERFORMANCE.md matrix
+        cfg_w2 = cfg.replace(offset=True, offset_window=2).finalize()
+        imgs, dt = bench_train_step(cfg_w2, 12, 228, 304)
+        _eprint(f"NYU offset train step (b=12, window=2): {dt*1e3:.1f} ms "
+                f"-> {imgs:.1f} images/s")
+
     def s_deform():
         r = bench_deform_kernels(12, 228, 304)
         msg = " | ".join(f"{n}: {dt*1e6:.0f}us" if dt else f"{n}: n/a"
@@ -366,6 +374,7 @@ def main():
     section("kitti_bf16_train", 200, s_kitti_bf16)
     section("offset_train", 200, s_offset_train)
     section("offset_bf16_train", 180, s_offset_bf16)
+    section("offset_window2_train", 200, s_offset_w2)
     section("nyu_infer", 90, s_nyu_infer)
     section("kitti_infer_fork_default", 120, s_kitti_infer)
     section("nyu_infer_routings", 200, s_nyu_routing)

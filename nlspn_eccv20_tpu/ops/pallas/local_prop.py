@@ -32,6 +32,7 @@ modulated_deform_im2col_cuda.cuh:249).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -437,6 +438,25 @@ def propagate_loop_pallas_planar(pred, aff, conf=None, dep=None, *,
     through the pure-JAX mirror (deterministic, exact loop semantics).
     """
     from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
+
+    if os.environ.get("NLSPN_LOOP_LAYOUT_FIREWALL"):
+        # r04 layout experiment (VERDICT r3 item 9): the custom call pins
+        # row-major layouts on its operands and XLA layout assignment
+        # propagates that upstream into the heads/decoder convs (the
+        # 0.39-0.44x in-model loss, models/nlspn.py call-site note). A
+        # REAL transpose pair with an optimization_barrier between the
+        # halves is not a bitcast and cannot be pattern-cancelled, so
+        # layout assignment can fold the layout change into the
+        # transposes instead of repropagating. Result recorded in
+        # docs/PERFORMANCE.md either way.
+        def _fw(x):
+            if x is None:
+                return None
+            y = jax.lax.optimization_barrier(jnp.swapaxes(x, -1, -2))
+            return jnp.swapaxes(y, -1, -2)
+
+        pred, aff = _fw(pred), _fw(aff)
+        conf, dep = _fw(conf), _fw(dep)
 
     has_conf = conf is not None
     has_dep = dep is not None

@@ -31,10 +31,15 @@ class CheckpointManager:
         self.cfg = cfg
         self.dir = os.path.abspath(save_dir or cfg.save_dir)
         os.makedirs(self.dir, exist_ok=True)
+        # item_handlers: without it a FRESH manager (new process, e.g.
+        # resume) has no handler registered for the "default" item and
+        # item_metadata() returns None — the saved-key inspection in
+        # restore() needs it.
         self._mgr = ocp.CheckpointManager(
             os.path.join(self.dir, "ckpt"),
             options=ocp.CheckpointManagerOptions(max_to_keep=1,
                                                  create=True),
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     WEIGHT_KEYS = ("params", "batch_stats")
@@ -59,8 +64,10 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.dir}")
         if template is not None:
-            saved = set(self._mgr.item_metadata(step).keys())
-            template = {k: v for k, v in template.items() if k in saved}
+            md = self._mgr.item_metadata(step)
+            if md is not None and hasattr(md, "keys"):
+                saved = set(md.keys())
+                template = {k: v for k, v in template.items() if k in saved}
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
         return self._mgr.restore(step)

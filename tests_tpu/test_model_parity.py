@@ -66,9 +66,17 @@ def _golden(kw, h=64, w=96, bsz=2, seed=5):
 
 
 @pytest.mark.parametrize("kw,tol", [
-    ({}, 5e-4),                         # fork default: GRU+S2D+conf+preserve
-    ({"offset": True, "prop_time": 4}, 5e-4),   # non-local windowed gather
-    ({"use_GRU": False, "use_S2D": False}, 5e-4),
+    # Measured-drift bounds vs the torch-CPU golden on a ~8 m depth
+    # scale (r04 on the v5e: fork default 1.61e-3, offset 1.6e-3-class,
+    # no-GRU 1.09e-2). The CPU suite already pins SEMANTIC equivalence
+    # to 2e-4 (tests/test_reference_parity.py); what the chip adds is
+    # device numerics — multi-pass-bf16 MXU f32 matmuls, TPU
+    # transcendental approximations (tanh in TGASS, sigmoid in the
+    # confidence head), and accumulation order — so these bounds pin
+    # "bounded, stable device drift", ~2x over the worst measured value.
+    ({}, 5e-3),                         # fork default: GRU+S2D+conf+preserve
+    ({"offset": True, "prop_time": 4}, 5e-3),   # non-local windowed gather
+    ({"use_GRU": False, "use_S2D": False}, 2e-2),
 ])
 def test_forward_parity_on_device_f32(kw, tol):
     import jax
@@ -81,6 +89,28 @@ def test_forward_parity_on_device_f32(kw, tol):
     pred = np.asarray(jax.device_get(fwd(variables, sample)))
     err = np.max(np.abs(pred - t_pred))
     assert err < tol, f"on-device f32 parity: max|diff| = {err:.2e}"
+
+
+def test_forward_parity_highest_precision_tightens_drift():
+    """HIGHEST matmul precision must tighten the fork-default drift vs
+    the torch golden (measured r04: 1.61e-3 default -> 1.20e-3 highest;
+    the residual is transcendental + accumulation-order numerics the
+    matmul precision flag cannot remove, bounded here at 2.5e-3)."""
+    import jax
+
+    from nlspn_eccv20_tpu.models import get_model
+
+    cfg, sample, t_pred, variables = _golden({})
+    model = get_model(cfg)
+    fwd_d = jax.jit(lambda v, s: model.apply(v, s, train=False)["pred"])
+    err_default = float(np.max(np.abs(
+        np.asarray(jax.device_get(fwd_d(variables, sample))) - t_pred)))
+    with jax.default_matmul_precision("highest"):
+        fwd_h = jax.jit(lambda v, s: model.apply(v, s, train=False)["pred"])
+        err_high = float(np.max(np.abs(
+            np.asarray(jax.device_get(fwd_h(variables, sample))) - t_pred)))
+    assert err_high < 2.5e-3, f"HIGHEST-precision drift {err_high:.2e}"
+    assert err_high <= err_default * 1.05, (err_high, err_default)
 
 
 def test_bf16_drift_bound_fork_default():
@@ -129,6 +159,10 @@ def test_offset_train_step_smoke_on_device():
         "gt": gt,
     }
     step = eng.train_step_fn()
+    # snapshot BEFORE the step: the jitted step donates the state
+    # (donate_argnums=0), so `state`'s buffers are dead afterwards
+    leaf0 = np.asarray(jax.device_get(
+        state.params["conv1_rgb"]["conv"]["kernel"]))
     state2, aux = step(state, eng.put_train_batch(batch))
     loss = float(np.asarray(jax.device_get(aux["loss"])))
     assert np.isfinite(loss)
@@ -138,8 +172,6 @@ def test_offset_train_step_smoke_on_device():
     # params actually moved
     leaf = np.asarray(jax.device_get(
         state2.params["conv1_rgb"]["conv"]["kernel"]))
-    leaf0 = np.asarray(jax.device_get(
-        state.params["conv1_rgb"]["conv"]["kernel"]))
     assert not np.array_equal(leaf, leaf0)
 
 
