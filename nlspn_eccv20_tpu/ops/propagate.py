@@ -251,6 +251,73 @@ def propagate_deformable_windowed_scan(
     return out[..., None]
 
 
+def propagate_deformable_windowed_union(
+    feat: jnp.ndarray,
+    offset: jnp.ndarray,
+    aff: jnp.ndarray,
+    kernel: int = 3,
+    radius: int = 4,
+) -> jnp.ndarray:
+    """Windowed gather re-associated over the UNION of global shifts.
+
+    Identical math to ``propagate_deformable_windowed`` (same tent
+    weights, re-associated): instead of 9 neighbors x (2R+2)^2 slice
+    multiplies of the padded plane (~900 shifted-slice applications), sum
+    the per-neighbor affinity-scaled tent products into ONE weight field
+    per GLOBAL shift (U, V) and apply the plane slice once per global
+    shift — (2R+2k//2+2)^2 = 144 slice applications at R=4, k=3. The
+    weight assembly is pure aligned elementwise math XLA fuses freely;
+    only the 144 plane slices carry shifted operands. FLOPs are equal;
+    the intent was to cut the slice-handling/fusion-splitting overhead
+    that holds the unrolled form ~10x over its VPU roofline.
+
+    MEASURED (r04, v5e, 12x228x304, devtools/exp_union_gather.py):
+    SLOWER — fwd 4785 us vs 2290 us unrolled, fwd+bwd 18480 vs 14548 us.
+    The ~180 materialized tent-term fields cost more HBM traffic than
+    the 756 avoided slice applications save; XLA fuses the unrolled
+    form's static slices better than predicted. Kept as an op-library
+    primitive with its negative result pinned (equivalence-tested);
+    production stays on the unrolled windowed form.
+    """
+    b, h, w, c = feat.shape
+    assert c == 1
+    k2 = kernel * kernel
+    assert aff.shape[-1] == k2 and offset.shape[-1] == 2 * k2
+
+    off = offset.reshape(b, h, w, k2, 2)
+    shifts = _neighbor_shifts(kernel)
+    kc = kernel // 2
+    rp = radius + 1 + kc
+    p = jnp.pad(feat[..., 0], ((0, 0), (rp, rp), (rp, rp)))
+
+    # per-neighbor 1-D tent terms (aff folded into the row term)
+    wy_terms = {}
+    wx_terms = {}
+    for ki, (dy, dx) in enumerate(shifts):
+        ty = off[..., ki, 0] + dy
+        tx = off[..., ki, 1] + dx
+        a = aff[..., ki]
+        for u in range(dy - radius, dy + radius + 2):
+            wy_terms[(ki, u)] = a * jnp.maximum(0.0, 1.0 - jnp.abs(ty - u))
+        for v in range(dx - radius, dx + radius + 2):
+            wx_terms[(ki, v)] = jnp.maximum(0.0, 1.0 - jnp.abs(tx - v))
+
+    out = jnp.zeros((b, h, w), feat.dtype)
+    for U in range(-radius - kc, radius + kc + 2):
+        for V in range(-radius - kc, radius + kc + 2):
+            wf = None
+            for ki, (dy, dx) in enumerate(shifts):
+                if (dy - radius <= U <= dy + radius + 1
+                        and dx - radius <= V <= dx + radius + 1):
+                    t = wy_terms[(ki, U)] * wx_terms[(ki, V)]
+                    wf = t if wf is None else wf + t
+            if wf is None:
+                continue
+            sp = p[:, rp + U:rp + U + h, rp + V:rp + V + w]
+            out = out + sp * wf
+    return out[..., None]
+
+
 def propagate_deformable(
     feat: jnp.ndarray,
     offset: jnp.ndarray,

@@ -286,6 +286,24 @@ class TestWindowedDeformable:
         for a, b in zip(g_u, g_s):
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
+    def test_union_variant_matches_unrolled(self, rng):
+        """Union-of-global-shifts re-association (r04 experiment, measured
+        SLOWER standalone — negative result pinned in the docstring):
+        must stay numerically identical to the unrolled windowed form."""
+        from nlspn_eccv20_tpu.ops.propagate import (
+            propagate_deformable_windowed,
+            propagate_deformable_windowed_union,
+        )
+        feat = jnp.asarray(rng.normal(size=(2, 9, 11, 1)), jnp.float32)
+        aff = jnp.asarray(rng.normal(size=(2, 9, 11, 9)), jnp.float32)
+        off = jnp.clip(jnp.asarray(rng.normal(size=(2, 9, 11, 18)) * 2.0,
+                                   jnp.float32), -4.0, 4.0)
+        for r in (2, 4):
+            out_u = propagate_deformable_windowed(feat, off, aff, radius=r)
+            out_g = propagate_deformable_windowed_union(feat, off, aff,
+                                                        radius=r)
+            np.testing.assert_allclose(out_g, out_u, rtol=1e-5, atol=1e-6)
+
     def test_zero_init_lattice_subgradient_documented(self, rng):
         """ADVICE r2 (medium): at INTEGER sampling points — exactly where
         every --offset run starts, since the offset head is zero-
