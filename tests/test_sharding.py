@@ -193,3 +193,31 @@ def test_pad_batch_helper():
     np.testing.assert_array_equal(padded["gt"][3], batch["gt"][2])
     same, valid2 = _pad_batch(batch, 3)
     assert valid2 == 3 and same is batch
+
+
+def test_spatial_sharding_offset_path_lowers_with_width_sharding():
+    """The non-local (--offset) windowed gather is pure XLA (static
+    shifted slices), so a ('data','space') width-sharded mesh must at
+    least LOWER it with the batch sharded on both axes.
+
+    Lowering-only on purpose: actually COMPILING an offset train step
+    under width sharding is pathological on the CPU backend of this
+    stack — the SPMD partitioner ran >20 min on a 16x48 toy shape
+    (window-size- and model-size-independent; full fork-offset config
+    >16 min too). On-real-TPU behavior is unverified (a single chip
+    cannot spatial-shard); the limitation is documented in
+    docs/PERFORMANCE.md Multi-chip. When a multi-chip rig is available,
+    promote this to a compile+run parity test."""
+    cfg = Config(data_name="Synthetic", patch_height=16, patch_width=48,
+                 prop_time=2, batch_size=2, offset=True, prop_loop="scan",
+                 use_GRU=False, use_S2D=False, offset_window=2,
+                 num_data_shards=2, num_spatial_shards=2).finalize()
+    eng = Engine(cfg, steps_per_epoch=4)
+    assert eng.mesh.shape == {"data": 2, "space": 2}
+    state = eng.init_state((16, 48))
+    placed = eng.put_train_batch(_batch(2, 16, 48))
+    # rgb sharded over data AND width
+    assert placed["rgb"].addressable_shards[0].data.shape == (1, 16, 24, 3)
+    lowered = eng.train_step_fn().lower(state, placed)
+    txt = lowered.as_text()
+    assert "sharding" in txt  # sharded computation actually annotated
