@@ -233,12 +233,15 @@ def main():
     n_cached = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
     _eprint(f"backend: {jax.default_backend()}, devices: {jax.devices()}, "
             f"budget: {_BUDGET_S:.0f}s")
-    # The section cost estimates below assume a WARM persistent compile
-    # cache; a cold cache pays full XLA compiles (up to ~35-55 min for the
-    # offset sections) and the budget gate will skip sections. Rows already
-    # printed are never lost (incremental stderr) and the next run is warm.
-    _eprint(f"compile cache: {'WARM' if n_cached else 'COLD'} "
-            f"({n_cached} entries at {cache_dir})")
+    # The section cost estimates below assume executables already cached;
+    # an uncached config pays a full XLA compile (up to ~35-55 min for the
+    # offset sections) and the budget gate may skip later sections. The
+    # entry count is informational only: sections added since the cache was
+    # last populated still compile cold even with entries present (ADVICE
+    # r4). Rows already printed are never lost (incremental stderr) and the
+    # next run is warm.
+    _eprint(f"compile cache: populated with {n_cached} entries at "
+            f"{cache_dir}; new/changed configs still compile cold")
 
     cfg = Config(patch_height=228, patch_width=304, batch_size=12,
                  prop_impl="auto").finalize()

@@ -95,15 +95,22 @@ def train(cfg: Config):
     loader_val = _loader(cfg, data_val, "val",
                          batch_size=engine.eval_batch_per_host)
     state = engine.init_state((cfg.patch_height, cfg.patch_width))
-    # ImageNet backbone init (reference common.py:21-42); a resume/pretrain
-    # restore below replaces every parameter, matching the reference order
-    # (construct-with-pretrained, then load checkpoint on top).
-    state = init_backbone_pretrained(cfg, state)
 
     ckpt = CheckpointManager(cfg)
+    resume_latest = ckpt.latest_epoch() if cfg.resume else None
+    if resume_latest is None:
+        # ImageNet backbone init (reference common.py:21-42); a --pretrain
+        # restore below replaces every parameter, matching the reference
+        # order (construct-with-pretrained, then load checkpoint on top).
+        # Skipped when an actual resume checkpoint exists: the restore
+        # replaces every parameter anyway, and an explicit
+        # --dir_pretrain_backbone whose file has since moved must not block
+        # an otherwise-valid resume (ADVICE r4).
+        state = init_backbone_pretrained(cfg, state)
+
     start_epoch = 1
     if cfg.resume:
-        latest = ckpt.latest_epoch()
+        latest = resume_latest
         if latest is not None:
             restored = ckpt.restore(latest, template=jax.device_get(
                 {"params": state.params, "batch_stats": state.batch_stats,

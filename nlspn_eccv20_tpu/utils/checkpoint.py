@@ -42,7 +42,11 @@ class CheckpointManager:
             item_handlers=ocp.StandardCheckpointHandler(),
         )
 
-    WEIGHT_KEYS = ("params", "batch_stats")
+    # steps_per_epoch rides along even in weights-only saves (it is a tiny
+    # scalar) so the resume-time LR-shift guard in main.py fires for
+    # --no_save_full checkpoints too; without it, step would be silently
+    # reconstructed as latest * NEW steps_per_epoch (ADVICE r4).
+    WEIGHT_KEYS = ("params", "batch_stats", "steps_per_epoch")
 
     def save(self, epoch: int, state: Dict[str, Any], full: bool = True):
         """state: pytree dict (params, batch_stats, opt_state, step...).

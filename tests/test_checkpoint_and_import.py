@@ -65,11 +65,15 @@ class TestCheckpoint:
                                "steps_per_epoch": np.asarray(5, np.int32)})
         mgr = CheckpointManager(cfg)
         mgr.save(1, tree, full=False)
+        # steps_per_epoch rides along in weights-only saves so the
+        # resume-time LR-shift guard fires for --no_save_full too
+        # (ADVICE r4; utils/checkpoint.WEIGHT_KEYS).
         assert set(mgr._mgr.item_metadata(1).keys()) == {
-            "params", "batch_stats"}
+            "params", "batch_stats", "steps_per_epoch"}
         # restore with a FULL template silently drops the absent keys
         restored = mgr.restore(1, template=tree)
-        assert set(restored) == {"params", "batch_stats"}
+        assert set(restored) == {"params", "batch_stats", "steps_per_epoch"}
+        assert int(restored["steps_per_epoch"]) == 5
         for x, y in zip(jax.tree.leaves(tree["params"]),
                         jax.tree.leaves(restored["params"])):
             np.testing.assert_array_equal(x, y)

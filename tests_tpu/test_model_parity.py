@@ -139,7 +139,10 @@ def test_bf16_drift_bound_fork_default():
 
 def test_offset_train_step_smoke_on_device():
     """One real --offset train step on the chip: the r03 compile-pathology
-    config (training clamps offsets into the window, scan prop loop).
+    config (training clamps offsets into the window; the scan prop loop is
+    auto-routed for offset configs with prop_time > 2 regardless of
+    cfg.prop_loop — models/nlspn.py `loop_impl` — so the default Config
+    here DOES exercise the scan codegen path).
     Pins: compiles, runs, finite loss/grads, telemetry scalar present."""
     import jax
 
