@@ -267,6 +267,20 @@ def _nchw(x):
     # non-local path: learned offsets, deformable bilinear gather (the
     # reference routes this through DCNv2; here the pure-torch stub above)
     {"offset": True},
+    # ablation-surface parity (VERDICT r4 item 6): the remaining affinity
+    # modes' branchy normalization (reference nlspnmodel.py:179-201 — AS
+    # skips the tanh scale, TC tanh-scales by a frozen gamma=K2-1 but skips
+    # the abs-sum division; both freeze aff_scale_const, :95-102)
+    {"affinity": "AS"},
+    {"affinity": "TC"},
+    # prop_kernel=5: 24 neighbors, center insert at index 12 (reference
+    # config.py:250-253 / nlspnmodel.py:29-30). NOTE: the reference's
+    # fixed-local branch hard-codes the 3x3 shift list
+    # (nlspnmodel.py:210-222) and CRASHES for k!=3 — k=5 is functional in
+    # the reference only through the DCN path, so this entry sets offset.
+    # Our fixed-local path generalizes to any odd k (a capability
+    # superset, unit-tested in tests/test_ops_propagate.py).
+    {"prop_kernel": 5, "offset": True},
 ])
 def test_forward_parity(kw):
     a = _args(**kw)
