@@ -426,6 +426,31 @@ class Heads(nn.Module):
         return pred_init_p, off_aff_p, conf_p
 
 
+def _offset_uses_pallas(cfg: Config, h: int, w: int) -> bool:
+    """Resolve the deformable-gather backend for the --offset path.
+
+    'pallas' (and 'auto' on a capable backend) routes the fused
+    shift-accumulate kernel pair (ops/pallas/deform_prop.py, r05:
+    identical windowed semantics, custom Pallas backward; measured 355.8
+    vs 410.8 ms/step at NYU b=12 R=4 f32 under scan, further ahead under
+    unroll — docs/PERFORMANCE.md). Never under spatial sharding: Pallas
+    custom calls are opaque to the SPMD partitioner (config already
+    rejects prop_impl='pallas' there; 'auto' resolves to xla).
+    """
+    if not (cfg.offset and cfg.offset_window):
+        return False
+    if cfg.prop_impl not in ("auto", "pallas") or cfg.num_spatial_shards > 1:
+        return False
+    from nlspn_eccv20_tpu.ops.pallas.deform_prop import (
+        deform_prop_available,
+        deform_prop_supported,
+    )
+
+    return (deform_prop_available()
+            and deform_prop_supported(h, w, cfg.prop_kernel,
+                                      cfg.offset_window))
+
+
 def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off,
                     train: bool = False):
     """One propagation step + input-preservation blend + optional clamp.
@@ -443,11 +468,15 @@ def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off,
         # 128x -> OOM, see ops/propagate.propagate_deformable); training
         # clamps offsets into the window instead, eval keeps the exact
         # runtime fallback.
+        impl = cfg.prop_impl
+        if impl == "auto":
+            impl = "pallas" if _offset_uses_pallas(
+                cfg, pred.shape[1], pred.shape[2]) else "xla"
         out = propagate_deformable(feat[..., None], off,
                                    jnp.moveaxis(aff, 1, -1),
                                    kernel=cfg.prop_kernel,
                                    radius=cfg.offset_window or None,
-                                   impl=cfg.prop_impl,
+                                   impl=impl,
                                    fallback=not train,
                                    neighbor_loop=cfg.offset_neighbor_loop,
                                    )[..., 0]
@@ -694,15 +723,21 @@ class NLSPNModel(nn.Module):
             }
 
         inter = []
-        # The non-local (--offset) windowed gather inlines ~900 shifted
-        # slices per step; UNROLLED x12 steps that graph makes XLA's
-        # optimizer pathological (r03 measured: CPU compile >28 min and
-        # still going vs 3.2 min under scan; TPU 35-55 min unrolled). The
-        # scan body compiles once, so offset configs always run the scan
-        # loop — the unroll-vs-scan runtime tradeoff (module docstring)
-        # was measured for the default fixed-local path, where unroll
-        # stays the default.
-        loop_impl = "scan" if (cfg.offset and k > 2) else cfg.prop_loop
+        # The non-local (--offset) XLA windowed gather inlines ~900
+        # shifted slices per step; UNROLLED x12 steps that graph makes
+        # XLA's optimizer pathological (r03 measured: CPU compile >28 min
+        # and still going vs 3.2 min under scan; TPU 35-55 min unrolled),
+        # so the XLA offset path always runs the scan loop. The Pallas
+        # deformable kernel (r05) is ONE custom call per step — its
+        # unrolled graph is small like the default path's, compiles in
+        # ~2 min cold, and skips the scan-remat recompute entirely
+        # (measured 303.2 vs 355.8 ms/step at NYU b=12 R=4 f32 —
+        # docs/PERFORMANCE.md), so it honors cfg.prop_loop ('unroll'
+        # default like the fixed-local path).
+        offset_pallas = cfg.offset and _offset_uses_pallas(
+            cfg, new_pred.shape[1], new_pred.shape[2])
+        loop_impl = ("scan" if (cfg.offset and k > 2 and not offset_pallas)
+                     else cfg.prop_loop)
         if k > 1:
             if loop_impl == "scan":
                 # Compact HLO / fast compile, but the scan STACKS every

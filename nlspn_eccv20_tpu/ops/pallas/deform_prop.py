@@ -1,0 +1,467 @@
+"""Fused Pallas TPU kernels for the non-local (windowed-deformable) propagation.
+
+Replaces the reference's DCNv2 CUDA op in its degenerate NLSPN configuration
+(frozen all-ones 1x1xkxk weight, zero bias — nlspnmodel.py:107-121,204-208:
+an affinity-modulated bilinear gather; CUDA device kernels
+modulated_deform_im2col_cuda.cuh:24-54,127-194 forward and :83-125,196-254
+coordinate/input gradients) with the *windowed* shift-accumulate
+reformulation of ops/propagate.propagate_deformable_windowed: the bilinear
+sample per neighbor is a tent-weighted sum over the static integer window
+around that neighbor's kernel shift,
+
+    out_k(y, x) = aff_k * sum_{u, v} hat(ty-u) * hat(tx-v) * P(y+u, x+v)
+
+with ``hat(t) = max(0, 1-|t|)``, (ty, tx) = neighbor shift + learned offset,
+and (u, v) walking the per-neighbor window. Exact whenever every offset lies
+in [-radius, radius] (the training clamp regime; eval adds a runtime exact
+fallback in ops/propagate.propagate_deformable).
+
+TPU-native design, two ideas beyond the (excised) round-2/3 attempt
+(devtools/exp_deform_prop_kernel.py, which unrolled all K2*(2R+2)^2 ~= 900
+misaligned 2-D slices into one Mosaic program and crashed/hung the
+compiler at model shapes):
+
+ 1. **Neighbors are a GRID dimension.** grid = (batch, K2); the output
+    block revolves in VMEM across the K2 programs, so one program body
+    holds only one neighbor's window walk (~8x smaller Mosaic IR).
+    Measured r05: compiles in seconds where the single-body kernel hung
+    >9 min.
+
+ 2. **Lane-aligned window reads via a persistent shifted-plane cache.**
+    A window slice shifted by v lanes costs a cross-lane rotate on the
+    VPU — ~900 of them per step was the dominant cost of both the XLA
+    windowed form and the first compiling kernel (measured r05: 3471 us
+    vs 2290 us XLA at 12x228x304 R=4). Instead, the (2R+2kc+2) distinct
+    GLOBAL lane shifts V of the padded plane are materialized ONCE per
+    batch element into a VMEM scratch that persists across the K2 grid
+    programs; the window walk then iterates global (U, V) shifts where
+    every read ``cache[V][rp+U : rp+U+h, :]`` is a static, lane-aligned
+    row slice. Per-neighbor truncation (the windowed form's semantics
+    for escaped offsets) is enforced by scalar masks
+    ``U - dy in [-R, R+1]`` computed from the program id — no dynamic
+    indexing anywhere.
+
+The backward is ALSO a Pallas kernel (the train step is fwd+bwd and the
+XLA backward dominates it: 14.5 ms vs 2.3 ms fwd standalone): same grid,
+daff / doffset written per neighbor, and dP accumulated into per-V
+lane-aligned scratch accumulators merged into the revolving padded-dP
+output with (2R+2kc+2) lane-shifted slice-adds in the last program. All
+gradients are deterministic (vs the reference's atomicAdd col2im scatter,
+cuh:196-254); the tent-weight derivative reproduces the CUDA coordinate
+gradients (mdmcn_get_coordinate_weight, cuh:83-125).
+
+Layouts are planar (minor dims (H, W) tile the 8x128 VPU registers; a
+trailing singleton channel would pad 128x in the lane dim — see
+ops/propagate.propagate_local_planar's note).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nlspn_eccv20_tpu.ops.propagate import (
+    _neighbor_shifts,
+    propagate_deformable_windowed,
+)
+
+try:  # pragma: no cover - import guard mirrors local_prop.py
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+# Per-program VMEM working-set budget (see deform_prop_supported). Mosaic's
+# default scoped-VMEM stack limit is 16 MB — far below the ~128 MB v5e
+# VMEM — and this body's value temporaries exceed it at model shapes
+# (measured: 32.8 MB at 12x228x304 R=4), so the pallas_calls raise
+# vmem_limit_bytes and this budget gates shapes that would exceed even that.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def deform_prop_available() -> bool:
+    """True when the kernels can run compiled on the default backend."""
+    if not _PALLAS_OK:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _interpret() -> bool:
+    # On non-TPU backends (CPU test meshes) run in interpreter mode so the
+    # same code path is exercised everywhere.
+    return jax.default_backend() != "tpu"
+
+
+def _geom(kernel: int, radius: int):
+    kc = kernel // 2
+    rp = radius + 1 + kc            # pad: offset + ceil corner + kernel shift
+    nv = 2 * (radius + kc) + 2      # distinct global shifts U or V
+    return kc, rp, nv
+
+
+def deform_prop_supported(h: int, w: int, kernel: int = 3,
+                          radius: int = 4) -> bool:
+    """Static check: one (batch, neighbor) program's working set fits the
+    raised VMEM limit. Counted planes (fp32): padded plane + out + dP +
+    shifted-plane cache (nv) + dP accumulators (nv, backward) + the cached
+    tent/derivative planes (~2*nv) + off/aff/g blocks + ~8 temporaries.
+    """
+    if radius < 1 or kernel < 1:
+        return False
+    kc, rp, nv = _geom(kernel, radius)
+    plane = (h + 2 * rp) * (w + 2 * rp) * 4
+    return (4 * nv + 16) * plane <= _VMEM_LIMIT
+
+
+def _full_cache_ok(h: int, w: int, kernel: int, radius: int,
+                   n_big: int) -> bool:
+    """Does the fully-aligned two-level cache variant fit VMEM?
+
+    The one-level cache leaves a sublane rotate on every window read (the
+    row offset rp+U is not a multiple of the 8-row vreg tile) and, in the
+    backward, on every dP accumulate. Materializing all nv*nv (U, V)
+    pre-shifted planes once per batch makes every in-loop READ fully
+    vreg-aligned — ~40 MB at NYU R=4, so it is shape-gated; KITTI-width
+    planes fall back to the one-level variant. n_big counts nv*nv
+    buffers (1 for both directions: the read cache; the backward's dP
+    accumulator stays in the compact per-V form — a second nv*nv buffer
+    measured 102M > the 100M VMEM stack cap at NYU shapes).
+    """
+    kc, rp, nv = _geom(kernel, radius)
+    big = nv * nv * h * w * 4
+    slack = 20 * (h + 2 * rp) * (w + 2 * rp) * 4
+    return n_big * big + slack <= _VMEM_LIMIT
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: one (batch, neighbor) program; out revolves over neighbors.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(p_ref, off_ref, aff_ref, out_ref, cache_ref, cache2_ref, *,
+                kernel: int, radius: int, h: int, w: int,
+                full_cache: bool):
+    k = pl.program_id(1)
+    kc, rp, nv = _geom(kernel, radius)
+    # neighbor shift from the row-major neighbor index (traced scalars)
+    dy = k // kernel - kc
+    dx = jax.lax.rem(k, kernel) - kc
+
+    @pl.when(k == 0)
+    def _fill_cache():
+        # pre-shifted planes, materialized once per batch element: either
+        # all nv*nv (U, V) combinations (full_cache — every in-loop read
+        # below becomes fully vreg-aligned) or just the nv lane shifts
+        # (the fallback when nv*nv planes exceed VMEM; reads then carry a
+        # sublane rotate). The unused scratch is degenerate (1, 1, 1) —
+        # carrying both full-size would re-overflow the VMEM stack (the
+        # bwd working set measured 102.09M vs the 100M cap with both).
+        p = p_ref[0]
+        if full_cache:
+            for ui, u_g in enumerate(range(-radius - kc, radius + kc + 2)):
+                for vi, v_g in enumerate(
+                        range(-radius - kc, radius + kc + 2)):
+                    cache2_ref[ui * nv + vi] = \
+                        p[rp + u_g:rp + u_g + h, rp + v_g:rp + v_g + w]
+        else:
+            for vi, v_g in enumerate(range(-radius - kc, radius + kc + 2)):
+                cache_ref[vi] = p[:, rp + v_g:rp + v_g + w]
+
+    ty = off_ref[0, 0] + dy.astype(jnp.float32)
+    tx = off_ref[0, 1] + dx.astype(jnp.float32)
+
+    # horizontal tent weights per GLOBAL lane shift V, masked to the
+    # neighbor's window [dx-R, dx+R+1] (exact truncation semantics of the
+    # windowed form for offsets beyond the window)
+    wxs = []
+    for v_g in range(-radius - kc, radius + kc + 2):
+        in_win = jnp.logical_and(v_g - dx >= -radius, v_g - dx <= radius + 1)
+        wxs.append(jnp.where(
+            in_win, jnp.maximum(0.0, 1.0 - jnp.abs(tx - v_g)), 0.0))
+
+    acc = jnp.zeros((h, w), jnp.float32)
+    for ui, u_g in enumerate(range(-radius - kc, radius + kc + 2)):
+        in_win = jnp.logical_and(u_g - dy >= -radius, u_g - dy <= radius + 1)
+        wy = jnp.where(
+            in_win, jnp.maximum(0.0, 1.0 - jnp.abs(ty - u_g)), 0.0)
+        row = jnp.zeros((h, w), jnp.float32)
+        for vi in range(nv):
+            if full_cache:
+                bs = cache2_ref[ui * nv + vi]
+            else:
+                # lane-aligned but sublane-rotated row slice
+                bs = cache_ref[vi, rp + u_g:rp + u_g + h, :]
+            row = row + bs * wxs[vi]
+        acc = acc + row * wy
+    contrib = acc * aff_ref[0, 0]
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(k > 0)
+    def _acc():
+        out_ref[0] = out_ref[0] + contrib
+
+
+def _deform_fwd_pallas(feat_p, off_p, aff_p, *, kernel: int, radius: int):
+    """feat_p: (B, H, W); off_p: (B, 2*K2, H, W); aff_p: (B, K2, H, W)."""
+    b, h, w = feat_p.shape
+    k2 = kernel * kernel
+    kc, rp, nv = _geom(kernel, radius)
+    p = jnp.pad(feat_p, ((0, 0), (rp, rp), (rp, rp)))
+
+    full_cache = _full_cache_ok(h, w, kernel, radius, n_big=1)
+    kern = functools.partial(_fwd_kernel, kernel=kernel, radius=radius,
+                             h=h, w=w, full_cache=full_cache)
+    bytes_plane = h * w * 4
+    return pl.pallas_call(
+        kern,
+        grid=(b, k2),
+        in_specs=[
+            pl.BlockSpec((1, h + 2 * rp, w + 2 * rp), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, h, w), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i, k: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), feat_p.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, 1) if full_cache else (nv, h + 2 * rp, w),
+                       jnp.float32),
+            pltpu.VMEM((nv * nv, h, w) if full_cache else (1, 1, 1),
+                       jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * k2 * nv * nv * h * w,
+            bytes_accessed=b * bytes_plane * (3 * k2 + 2),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(p, off_p, aff_p)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: same grid; daff/doff written per neighbor, dP accumulated
+# into per-V lane-aligned scratch, merged once in the last program.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(p_ref, off_ref, aff_ref, g_ref, dp_ref, doff_ref, daff_ref,
+                cache_ref, cache2_ref, dacc_ref, *, kernel: int, radius: int,
+                h: int, w: int, full_cache: bool):
+    k = pl.program_id(1)
+    k2 = kernel * kernel
+    kc, rp, nv = _geom(kernel, radius)
+    dy = k // kernel - kc
+    dx = jax.lax.rem(k, kernel) - kc
+
+    @pl.when(k == 0)
+    def _fill_cache():
+        p = p_ref[0]
+        if full_cache:
+            for ui, u_g in enumerate(range(-radius - kc, radius + kc + 2)):
+                for vi, v_g in enumerate(
+                        range(-radius - kc, radius + kc + 2)):
+                    cache2_ref[ui * nv + vi] = \
+                        p[rp + u_g:rp + u_g + h, rp + v_g:rp + v_g + w]
+        else:
+            for vi, v_g in enumerate(range(-radius - kc, radius + kc + 2)):
+                cache_ref[vi] = p[:, rp + v_g:rp + v_g + w]
+        dacc_ref[...] = jnp.zeros(dacc_ref.shape, jnp.float32)
+
+    ty = off_ref[0, 0] + dy.astype(jnp.float32)
+    tx = off_ref[0, 1] + dx.astype(jnp.float32)
+    g = g_ref[0]
+    a = aff_ref[0, 0]
+    q = a * g
+
+    # Tent weights and their d/d(offset) per global shift, window-masked.
+    # d/dt max(0, 1-|t|) = -sign(t) strictly inside the support, 0 outside
+    # — with JAX's subgradient conventions at the measure-zero ties, which
+    # the mirror's autodiff uses and integer-valued offsets DO hit (a
+    # 15M-sample TPU fuzz found one in r05; the integer-offset unit test
+    # hits them densely): d|t|/dt at t == 0 is +1 (not sign(0) == 0), and
+    # at the support edge |t| == 1 jnp.maximum splits the tie, factor 1/2.
+    def _dhat(t, az, in_win):
+        sgn = jnp.where(t >= 0.0, 1.0, -1.0)
+        mag = jnp.where(az < 1.0, 1.0, jnp.where(az == 1.0, 0.5, 0.0))
+        return jnp.where(in_win, -sgn * mag, 0.0)
+
+    wxs, dwxs = [], []
+    for v_g in range(-radius - kc, radius + kc + 2):
+        in_win = jnp.logical_and(v_g - dx >= -radius, v_g - dx <= radius + 1)
+        t = tx - v_g
+        az = jnp.abs(t)
+        wxs.append(jnp.where(in_win, jnp.maximum(0.0, 1.0 - az), 0.0))
+        dwxs.append(_dhat(t, az, in_win))
+
+    s = jnp.zeros((h, w), jnp.float32)     # re-gathered fwd sum (no aff)
+    doy = jnp.zeros((h, w), jnp.float32)
+    dox = jnp.zeros((h, w), jnp.float32)
+    for ui, u_g in enumerate(range(-radius - kc, radius + kc + 2)):
+        in_win = jnp.logical_and(u_g - dy >= -radius, u_g - dy <= radius + 1)
+        t = ty - u_g
+        az = jnp.abs(t)
+        wy = jnp.where(in_win, jnp.maximum(0.0, 1.0 - az), 0.0)
+        dwy = _dhat(t, az, in_win)
+        r = jnp.zeros((h, w), jnp.float32)   # sum_V wx * B
+        r2 = jnp.zeros((h, w), jnp.float32)  # sum_V dwx * B
+        qy = q * wy
+        for vi in range(nv):
+            if full_cache:
+                bs = cache2_ref[ui * nv + vi]
+            else:
+                bs = cache_ref[vi, rp + u_g:rp + u_g + h, :]
+            r = r + bs * wxs[vi]
+            r2 = r2 + bs * dwxs[vi]
+            # dP contribution lands at target+(U, V): accumulate into
+            # the per-V plane at row offset U (lane-aligned; the row
+            # rotate stays — a full nv*nv accumulator alongside the
+            # nv*nv read cache measured 102M > the 100M VMEM stack cap),
+            # lane-merged once at the end.
+            dacc_ref[vi, rp + u_g:rp + u_g + h, :] = (
+                dacc_ref[vi, rp + u_g:rp + u_g + h, :] + qy * wxs[vi])
+        s = s + r * wy
+        doy = doy + r * dwy
+        dox = dox + r2 * wy
+
+    daff_ref[0, 0] = s * g
+    doff_ref[0, 0] = doy * q
+    doff_ref[0, 1] = dox * q
+
+    @pl.when(k == k2 - 1)
+    def _merge_dp():
+        # jnp .at[].add on a value would lower to scatter-add (unsupported
+        # by Mosaic); slice read-modify-writes on the ref lower to plain
+        # vector ops.
+        dp_ref[0] = jnp.zeros((h + 2 * rp, w + 2 * rp), jnp.float32)
+        for vi, v_g in enumerate(range(-radius - kc, radius + kc + 2)):
+            dp_ref[0, :, rp + v_g:rp + v_g + w] = (
+                dp_ref[0, :, rp + v_g:rp + v_g + w] + dacc_ref[vi])
+
+
+def _deform_bwd_pallas(feat_p, off_p, aff_p, g, *, kernel: int, radius: int):
+    b, h, w = feat_p.shape
+    k2 = kernel * kernel
+    kc, rp, nv = _geom(kernel, radius)
+    p = jnp.pad(feat_p, ((0, 0), (rp, rp), (rp, rp)))
+
+    full_cache = _full_cache_ok(h, w, kernel, radius, n_big=1)
+    kern = functools.partial(_bwd_kernel, kernel=kernel, radius=radius,
+                             h=h, w=w, full_cache=full_cache)
+    bytes_plane = h * w * 4
+    plane_spec = pl.BlockSpec((1, h + 2 * rp, w + 2 * rp),
+                              lambda i, k: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    dp_pad, doff, daff = pl.pallas_call(
+        kern,
+        grid=(b, k2),
+        in_specs=[
+            plane_spec,
+            pl.BlockSpec((1, 2, h, w), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            plane_spec,
+            pl.BlockSpec((1, 2, h, w), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h + 2 * rp, w + 2 * rp), feat_p.dtype),
+            jax.ShapeDtypeStruct((b, 2 * k2, h, w), feat_p.dtype),
+            jax.ShapeDtypeStruct((b, k2, h, w), feat_p.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, 1) if full_cache else (nv, h + 2 * rp, w),
+                       jnp.float32),                        # lane-shifted
+            pltpu.VMEM((nv * nv, h, w) if full_cache else (1, 1, 1),
+                       jnp.float32),                        # (U,V) planes
+            pltpu.VMEM((nv, h + 2 * rp, w), jnp.float32),   # dP accum
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * k2 * nv * nv * h * w,
+            bytes_accessed=b * bytes_plane * (6 * k2 + 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(p, off_p, aff_p, g)
+    # Contributions landing in the zero-pad region are dropped, exactly as
+    # the forward's zero padding drops those reads.
+    dfeat = dp_pad[:, rp:rp + h, rp:rp + w]
+    return dfeat, doff, daff
+
+
+# ---------------------------------------------------------------------------
+# Differentiable op (planar) + NHWC wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _deform_op(feat_p, off_p, aff_p, kernel, radius):
+    return _deform_fwd_pallas(feat_p, off_p, aff_p, kernel=kernel,
+                              radius=radius)
+
+
+def _deform_op_fwd(feat_p, off_p, aff_p, kernel, radius):
+    out = _deform_op(feat_p, off_p, aff_p, kernel, radius)
+    return out, (feat_p, off_p, aff_p)
+
+
+def _deform_op_bwd(kernel, radius, res, g):
+    feat_p, off_p, aff_p = res
+    return _deform_bwd_pallas(feat_p, off_p, aff_p, g, kernel=kernel,
+                              radius=radius)
+
+
+_deform_op.defvjp(_deform_op_fwd, _deform_op_bwd)
+
+
+def propagate_deformable_pallas(feat, offset, aff, kernel: int = 3,
+                                radius: int = 4):
+    """Drop-in for ops.propagate.propagate_deformable_windowed (NHWC),
+    self-partitioned over an ambient data mesh (ops/pallas/shard.py).
+
+    feat: (B, H, W, 1); offset: (B, H, W, 2*K2); aff: (B, H, W, K2).
+    Same truncated-window semantics as the XLA windowed form for ALL
+    offsets (exact iff |offset| <= radius); callers wanting the runtime
+    exact fallback go through ops.propagate.propagate_deformable.
+    """
+    from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
+
+    def core(f, o, a):
+        return _deform_op(f, o, a, kernel, radius)
+
+    out = shard_over_data(
+        core,
+        (feat[..., 0].astype(jnp.float32),
+         jnp.moveaxis(offset, -1, 1).astype(jnp.float32),
+         jnp.moveaxis(aff, -1, 1).astype(jnp.float32)),
+        (True, True, True))
+    return out[..., None]
+
+
+def _pure_windowed_planar(feat_p, off_p, aff_p, kernel, radius):
+    """Pure-JAX mirror (parity oracle for the tests)."""
+    out = propagate_deformable_windowed(
+        feat_p[..., None], jnp.moveaxis(off_p, 1, -1),
+        jnp.moveaxis(aff_p, 1, -1), kernel=kernel, radius=radius)
+    return out[..., 0]

@@ -354,19 +354,31 @@ def propagate_deformable(
     further), and eval/test still runs the exact-fallback form.
     ``radius=None`` forces the exact path regardless.
 
-    impl: accepted for API symmetry with the local path; every impl uses
-    the XLA windowed formulation (measured 135x over the exact gather on
-    v5e, docs/PERFORMANCE.md — the experimental Pallas variant lives in
-    devtools/exp_deform_prop_kernel.py with its negative result pinned).
+    impl: 'xla' => the pure-XLA windowed form (measured 135x over the
+    exact gather on v5e, docs/PERFORMANCE.md). 'pallas' => the fused
+    shift-accumulate Pallas kernel pair (ops/pallas/deform_prop.py,
+    grid-over-neighbors + lane-shifted plane cache; identical windowed
+    semantics incl. truncation, custom Pallas backward) when the backend
+    supports it at this shape, else the XLA form. 'auto' resolves in the
+    model (models/nlspn._prop_and_blend) where the sharding config is
+    known; at op level it means 'xla'.
     """
     if radius is None:
         return propagate_deformable_exact(feat, offset, aff, kernel=kernel)
 
     def fast(f, o, a):
-        # All impls use the XLA windowed form: the experimental Pallas
-        # deformable kernel was excised to devtools/exp_deform_prop_kernel
-        # (Mosaic cannot compile it at model shapes on this stack — the
-        # negative result is pinned there and in docs/PERFORMANCE.md).
+        if impl == "pallas":
+            from nlspn_eccv20_tpu.ops.pallas.deform_prop import (
+                deform_prop_available,
+                deform_prop_supported,
+                propagate_deformable_pallas,
+            )
+
+            if (deform_prop_available()
+                    and deform_prop_supported(f.shape[1], f.shape[2],
+                                              kernel, radius)):
+                return propagate_deformable_pallas(f, o, a, kernel=kernel,
+                                                   radius=radius)
         if neighbor_loop == "scan":
             return propagate_deformable_windowed_scan(f, o, a, kernel=kernel,
                                                       radius=radius)

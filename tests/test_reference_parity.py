@@ -171,7 +171,7 @@ def _install_stubs():
         sys.path.insert(0, REF)
 
 
-def _ref_model(args):
+def _ref_model(args, param_seed=42):
     _install_stubs()
     import model.nlspnmodel as _refmod  # noqa: E402 (reference)
     from model.nlspnmodel import NLSPNModel  # noqa: E402 (reference)
@@ -185,8 +185,9 @@ def _ref_model(args):
     m = NLSPNModel(args)
     # Randomize every trainable tensor so the comparison exercises real
     # (nonzero) affinities/offheads; keep the frozen gather dummies and
-    # gamma at their constructed values.
-    gen = torch.Generator().manual_seed(42)
+    # gamma at their constructed values. param_seed varies the draw for
+    # the torch-vs-torch seed-noise control (devtools/torch_seed_noise.py).
+    gen = torch.Generator().manual_seed(param_seed)
     for name, p in m.named_parameters():
         if name in ("w", "b", "w_conf", "aff_scale_const"):
             continue
@@ -323,7 +324,7 @@ def test_gradient_parity():
     )
 
     a = _args(prop_time=3)
-    tm = _ref_model(a).train()
+    tm = _ref_model(a, param_seed=param_seed).train()
     h, w = a.patch_height, a.patch_width
     rgb, dep = _sample(h, w)
     rng = np.random.default_rng(11)
@@ -352,6 +353,27 @@ def test_gradient_parity():
                for n, p in tm.named_parameters()}
 
     # ---- our side
+    if torch_only:
+        curves = {"t_loss": [], "j_loss": [], "t_rmse": [], "j_rmse": []}
+        for step in range(n_steps):
+            b = data[step % n_batches]
+            out = tm({
+                "rgb": torch.from_numpy(np.transpose(b["rgb"], (0, 3, 1, 2))),
+                "dep": torch.from_numpy(np.transpose(b["dep"], (0, 3, 1, 2))),
+            })
+            gt_t = torch.from_numpy(np.transpose(b["gt"], (0, 3, 1, 2)))
+            loss = (t_loss_fn(out["pred"], gt_t, 1)
+                    + t_loss_fn(out["pred"], gt_t, 2)) / bsz
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            curves["t_loss"].append(float(loss.detach()))
+            curves["t_rmse"].append(t_rmse_fn(out["pred"].detach(), gt_t))
+            if log_every and (step % log_every == 0 or step == n_steps - 1):
+                print(f"step {step:4d} | torch loss {curves['t_loss'][-1]:.4f}"
+                      f" rmse {curves['t_rmse'][-1]:.4f}", flush=True)
+        return curves
+
     cfg = _our_cfg(a).replace(loss="1.0*L1+1.0*L2")
     model = get_model(cfg)
     loss_fn = get_loss(cfg)
@@ -467,7 +489,7 @@ def test_training_trajectory_parity(kw, loss_tol, final_tol):
         data.append({"rgb": rgb, "dep": dep, "gt": gt})
 
     # ---- torch trajectory
-    tm = _ref_model(a).train()
+    tm = _ref_model(a, param_seed=param_seed).train()
     opt = torch.optim.Adam(tm.parameters(), lr=lr, betas=(0.9, 0.999),
                            eps=1e-8)
 
@@ -484,6 +506,27 @@ def test_training_trajectory_parity(kw, loss_tol, final_tol):
     # NOTE: jnp.asarray is zero-copy on CPU and the imported arrays may
     # alias torch parameter storage, which opt.step() mutates in place —
     # deep-copy so the jax side really starts from the initial weights.
+    if torch_only:
+        curves = {"t_loss": [], "j_loss": [], "t_rmse": [], "j_rmse": []}
+        for step in range(n_steps):
+            b = data[step % n_batches]
+            out = tm({
+                "rgb": torch.from_numpy(np.transpose(b["rgb"], (0, 3, 1, 2))),
+                "dep": torch.from_numpy(np.transpose(b["dep"], (0, 3, 1, 2))),
+            })
+            gt_t = torch.from_numpy(np.transpose(b["gt"], (0, 3, 1, 2)))
+            loss = (t_loss_fn(out["pred"], gt_t, 1)
+                    + t_loss_fn(out["pred"], gt_t, 2)) / bsz
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            curves["t_loss"].append(float(loss.detach()))
+            curves["t_rmse"].append(t_rmse_fn(out["pred"].detach(), gt_t))
+            if log_every and (step % log_every == 0 or step == n_steps - 1):
+                print(f"step {step:4d} | torch loss {curves['t_loss'][-1]:.4f}"
+                      f" rmse {curves['t_rmse'][-1]:.4f}", flush=True)
+        return curves
+
     cfg = _our_cfg(a).replace(loss="1.0*L1+1.0*L2")
     model = get_model(cfg)
     loss_fn = get_loss(cfg)
@@ -627,13 +670,17 @@ def test_forward_parity_resnet34_scan_loop():
 
 
 def run_dual_training(kw=None, n_steps=300, n_batches=8, bsz=2, lr=1e-3,
-                      h=32, w=48, seed=17, log_every=0):
+                      h=32, w=48, seed=17, log_every=0, param_seed=42,
+                      torch_only=False):
     """Train both implementations in lockstep; returns per-step curves.
 
     Returns dict with keys t_loss, j_loss, t_rmse, j_rmse (lists, len
     n_steps). RMSE is on the train batch: sqrt of the valid-masked MSE of
     the clamped pred, per-sample mean then batch mean (the metric
     convention of /root/reference/src/metric/nlspnmetric.py:31-93).
+    torch_only=True trains just the torch side (j_* stay empty) — the
+    seed-noise control (devtools/torch_seed_noise.py) needs N torch runs
+    at different param_seed values without paying N jax runs.
     """
     import jax
     import jax.numpy as jnp
@@ -654,7 +701,7 @@ def run_dual_training(kw=None, n_steps=300, n_batches=8, bsz=2, lr=1e-3,
         dep = (gt * (rng.random((bsz, h, w, 1)) > 0.95)).astype(np.float32)
         data.append({"rgb": rgb, "dep": dep, "gt": gt})
 
-    tm = _ref_model(a).train()
+    tm = _ref_model(a, param_seed=param_seed).train()
     opt = torch.optim.Adam(tm.parameters(), lr=lr, betas=(0.9, 0.999),
                            eps=1e-8)
 
@@ -675,6 +722,27 @@ def run_dual_training(kw=None, n_steps=300, n_batches=8, bsz=2, lr=1e-3,
             num = mask.sum(dim=[1, 2, 3])
             return float((se.sum(dim=[1, 2, 3]) / (num + 1e-8))
                          .sqrt().mean())
+
+    if torch_only:
+        curves = {"t_loss": [], "j_loss": [], "t_rmse": [], "j_rmse": []}
+        for step in range(n_steps):
+            b = data[step % n_batches]
+            out = tm({
+                "rgb": torch.from_numpy(np.transpose(b["rgb"], (0, 3, 1, 2))),
+                "dep": torch.from_numpy(np.transpose(b["dep"], (0, 3, 1, 2))),
+            })
+            gt_t = torch.from_numpy(np.transpose(b["gt"], (0, 3, 1, 2)))
+            loss = (t_loss_fn(out["pred"], gt_t, 1)
+                    + t_loss_fn(out["pred"], gt_t, 2)) / bsz
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            curves["t_loss"].append(float(loss.detach()))
+            curves["t_rmse"].append(t_rmse_fn(out["pred"].detach(), gt_t))
+            if log_every and (step % log_every == 0 or step == n_steps - 1):
+                print(f"step {step:4d} | torch loss {curves['t_loss'][-1]:.4f}"
+                      f" rmse {curves['t_rmse'][-1]:.4f}", flush=True)
+        return curves
 
     cfg = _our_cfg(a).replace(loss="1.0*L1+1.0*L2")
     model = get_model(cfg)

@@ -137,20 +137,22 @@ def test_bf16_drift_bound_fork_default():
     assert np.max(np.abs(p16 - _t_pred)) < 0.5
 
 
-def test_offset_train_step_smoke_on_device():
-    """One real --offset train step on the chip: the r03 compile-pathology
-    config (training clamps offsets into the window; the scan prop loop is
-    auto-routed for offset configs with prop_time > 2 regardless of
-    cfg.prop_loop — models/nlspn.py `loop_impl` — so the default Config
-    here DOES exercise the scan codegen path).
-    Pins: compiles, runs, finite loss/grads, telemetry scalar present."""
+@pytest.mark.parametrize("impl", ["xla", "auto"])
+def test_offset_train_step_smoke_on_device(impl):
+    """One real --offset train step on the chip, both routings: 'xla' is
+    the r03 compile-pathology config (training clamps offsets into the
+    window; the scan prop loop is force-routed for the XLA offset path —
+    models/nlspn.py `loop_impl` — so this entry exercises the scan
+    codegen); 'auto' resolves to the r05 Pallas kernel pair under the
+    unrolled loop (models/nlspn._offset_uses_pallas), the production
+    route. Pins: compiles, runs, finite loss/grads, telemetry present."""
     import jax
 
     from nlspn_eccv20_tpu.config import Config
     from nlspn_eccv20_tpu.train import Engine
 
     cfg = Config(data_name="Synthetic", patch_height=64, patch_width=96,
-                 batch_size=2, prop_time=4, offset=True,
+                 batch_size=2, prop_time=4, offset=True, prop_impl=impl,
                  num_threads=2).finalize()
     eng = Engine(cfg, steps_per_epoch=10)
     state = eng.init_state((64, 96))
@@ -176,6 +178,47 @@ def test_offset_train_step_smoke_on_device():
     leaf = np.asarray(jax.device_get(
         state2.params["conv1_rgb"]["conv"]["kernel"]))
     assert not np.array_equal(leaf, leaf0)
+
+
+def test_offset_model_pallas_vs_xla_on_device():
+    """Full-model --offset forward+gradient parity between the two
+    deformable-gather routings ON THE CHIP: prop_impl='xla' (windowed
+    slices, scan loop) vs 'auto'->pallas (ops/pallas/deform_prop.py,
+    unrolled loop). Same params, same batch; predictions must agree to
+    f32 accumulation-order tolerance and the train-step losses/grad
+    norms must match — this is the guard that the r05 routing change
+    cannot silently alter training semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlspn_eccv20_tpu.config import Config
+    from nlspn_eccv20_tpu.train import Engine
+
+    rng = np.random.default_rng(5)
+    h, w, b = 64, 96, 2
+    gt = np.clip(rng.random((b, h, w, 1)) * 8, 0.1, None).astype(np.float32)
+    batch = {
+        "rgb": rng.standard_normal((b, h, w, 3)).astype(np.float32),
+        "dep": (gt * (rng.random((b, h, w, 1)) > 0.95)).astype(np.float32),
+        "gt": gt,
+    }
+
+    losses, preds = {}, {}
+    for impl in ("xla", "auto"):
+        cfg = Config(data_name="Synthetic", patch_height=h, patch_width=w,
+                     batch_size=b, prop_time=4, offset=True,
+                     prop_impl=impl, num_threads=2).finalize()
+        eng = Engine(cfg, steps_per_epoch=10)
+        state = eng.init_state((h, w))  # same seed -> identical init
+        state2, aux = eng.train_step_fn()(state, eng.put_train_batch(batch))
+        losses[impl] = float(np.asarray(jax.device_get(aux["loss"])))
+        preds[impl] = np.asarray(jax.device_get(aux["output"]["pred"]))
+        jax.block_until_ready(state2.params)
+
+    assert np.isfinite(losses["xla"]) and np.isfinite(losses["auto"])
+    np.testing.assert_allclose(losses["auto"], losses["xla"], rtol=1e-4)
+    scale = max(np.max(np.abs(preds["xla"])), 1.0)
+    assert np.max(np.abs(preds["auto"] - preds["xla"])) / scale < 1e-3
 
 
 def test_kitti_shape_forward_on_device():
