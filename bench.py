@@ -347,7 +347,7 @@ def main():
         dt, _ = bench_infer(cfg_k, 240, 1216)
         recorded["kitti_infer_fork_default_ms"] = dt * 1e3
         _eprint(f"KITTI inference fork-default (b=1): {dt*1e3:.2f} ms/image"
-                f" (r02: 36.66 ms)")
+                f" (r02-r04: 36.6; r05 tap-major heads: 30.6)")
 
     def s_kitti_routing():
         cfg_k = Config(patch_height=240, patch_width=1216, batch_size=3,
@@ -429,7 +429,7 @@ def main():
         # key: (expected, tolerance, higher_is_better-description)
         "nyu_train": (68.8, 0.18, "images/s"),
         "nyu_bf16_train": (99.1, 0.18, "images/s"),
-        "kitti_infer_fork_default_ms": (36.6, 0.18, "ms"),
+        "kitti_infer_fork_default_ms": (30.6, 0.18, "ms"),
         "offset_train": (41.5, 0.18, "images/s (pallas r05)"),
         "offset_window2_train": (52.5, 0.18, "images/s (pallas r05)"),
     }

@@ -406,19 +406,40 @@ class Heads(nn.Module):
 
         dt = self.dtype or y.dtype
         bias_cat = jnp.concatenate(biases)
-        # NOTE on alternatives, both measured SLOWER than XLA's direct conv:
-        # a tap-major 1x1-conv + shifted-add decomposition (+2.6 ms/step
-        # bf16 — the 9*total-channel intermediate's HBM traffic exceeds the
-        # MXU savings), and the Pallas small_conv3x3_planar kernel
-        # (ops/pallas/small_conv3x3.py: +1.5 ms fp32 / +15 ms bf16 in-model
-        # — the 9-tap fold is VPU-pass-bound at full resolution and XLA's
-        # conv already overlaps it with the surrounding step).
+        # Batch-dependent routing for the stage-2 conv (r05, VERDICT r4
+        # item 9). At TRAIN batches the direct conv wins: the tap-major
+        # 1x1-conv + shifted-add decomposition measured +2.6 ms/step bf16
+        # at NYU b=12 (the 9*total-channel intermediate's HBM traffic
+        # exceeds the MXU savings), and the Pallas small_conv3x3_planar
+        # kernel lost too (+1.5 ms fp32 / +15 ms bf16 — see
+        # ops/pallas/small_conv3x3.py). At b=1 SERVING the direct conv is
+        # the single largest profiled site (5.39 ms of the 36.6 ms KITTI
+        # b=1 latency, ~13x over roofline: `total`~10 output channels fill
+        # 10 of 128 MXU lanes — devtools/profile_refresh.py), and the SAME
+        # decomposition wins 3.39x standalone (2701 -> 798 us,
+        # devtools/exp_heads_stage2_b1.py): the 1x1 conv to 9*total
+        # tap-major channels fills ~70% of the MXU and the 9 shifted adds
+        # run planar (an NHWC total-ch add would pad 12.8x in lanes).
         x2 = jnp.concatenate([y, fe1.astype(y.dtype)], axis=-1)
-        y2 = jax.lax.conv_general_dilated(
-            x2.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bias_cat.astype(dt)
-        y2p = jnp.moveaxis(y2, -1, 1).astype(jnp.float32)
+        if x2.shape[0] == 1:
+            bsz, hh, ww = x2.shape[0], x2.shape[1], x2.shape[2]
+            kflat = jnp.moveaxis(kernel.reshape(9, in_ch, total),
+                                 0, 1).reshape(in_ch, 9 * total)
+            ym = jnp.einsum("bhwc,cd->bhwd", x2.astype(dt), kflat.astype(dt))
+            yp = jnp.moveaxis(ym, -1, 1).reshape(bsz, 9, total, hh, ww)
+            yp = jnp.pad(yp, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)))
+            acc = jnp.zeros((bsz, total, hh, ww), dt)
+            for t, (dy, dx) in enumerate((dy, dx) for dy in (0, 1, 2)
+                                         for dx in (0, 1, 2)):
+                acc = acc + yp[:, t, :, dy:dy + hh, dx:dx + ww]
+            y2p = (acc + bias_cat.astype(dt)[None, :, None, None]).astype(
+                jnp.float32)
+        else:
+            y2 = jax.lax.conv_general_dilated(
+                x2.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias_cat.astype(dt)
+            y2p = jnp.moveaxis(y2, -1, 1).astype(jnp.float32)
 
         pred_init_p = nn.relu(y2p[:, 0])                      # (B, H, W)
         off_aff_p = y2p[:, 1:1 + n_off_aff]                   # planar
