@@ -324,7 +324,7 @@ def test_gradient_parity():
     )
 
     a = _args(prop_time=3)
-    tm = _ref_model(a, param_seed=param_seed).train()
+    tm = _ref_model(a).train()
     h, w = a.patch_height, a.patch_width
     rgb, dep = _sample(h, w)
     rng = np.random.default_rng(11)
@@ -353,27 +353,6 @@ def test_gradient_parity():
                for n, p in tm.named_parameters()}
 
     # ---- our side
-    if torch_only:
-        curves = {"t_loss": [], "j_loss": [], "t_rmse": [], "j_rmse": []}
-        for step in range(n_steps):
-            b = data[step % n_batches]
-            out = tm({
-                "rgb": torch.from_numpy(np.transpose(b["rgb"], (0, 3, 1, 2))),
-                "dep": torch.from_numpy(np.transpose(b["dep"], (0, 3, 1, 2))),
-            })
-            gt_t = torch.from_numpy(np.transpose(b["gt"], (0, 3, 1, 2)))
-            loss = (t_loss_fn(out["pred"], gt_t, 1)
-                    + t_loss_fn(out["pred"], gt_t, 2)) / bsz
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-            curves["t_loss"].append(float(loss.detach()))
-            curves["t_rmse"].append(t_rmse_fn(out["pred"].detach(), gt_t))
-            if log_every and (step % log_every == 0 or step == n_steps - 1):
-                print(f"step {step:4d} | torch loss {curves['t_loss'][-1]:.4f}"
-                      f" rmse {curves['t_rmse'][-1]:.4f}", flush=True)
-        return curves
-
     cfg = _our_cfg(a).replace(loss="1.0*L1+1.0*L2")
     model = get_model(cfg)
     loss_fn = get_loss(cfg)
@@ -489,7 +468,7 @@ def test_training_trajectory_parity(kw, loss_tol, final_tol):
         data.append({"rgb": rgb, "dep": dep, "gt": gt})
 
     # ---- torch trajectory
-    tm = _ref_model(a, param_seed=param_seed).train()
+    tm = _ref_model(a).train()
     opt = torch.optim.Adam(tm.parameters(), lr=lr, betas=(0.9, 0.999),
                            eps=1e-8)
 
@@ -506,27 +485,6 @@ def test_training_trajectory_parity(kw, loss_tol, final_tol):
     # NOTE: jnp.asarray is zero-copy on CPU and the imported arrays may
     # alias torch parameter storage, which opt.step() mutates in place —
     # deep-copy so the jax side really starts from the initial weights.
-    if torch_only:
-        curves = {"t_loss": [], "j_loss": [], "t_rmse": [], "j_rmse": []}
-        for step in range(n_steps):
-            b = data[step % n_batches]
-            out = tm({
-                "rgb": torch.from_numpy(np.transpose(b["rgb"], (0, 3, 1, 2))),
-                "dep": torch.from_numpy(np.transpose(b["dep"], (0, 3, 1, 2))),
-            })
-            gt_t = torch.from_numpy(np.transpose(b["gt"], (0, 3, 1, 2)))
-            loss = (t_loss_fn(out["pred"], gt_t, 1)
-                    + t_loss_fn(out["pred"], gt_t, 2)) / bsz
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-            curves["t_loss"].append(float(loss.detach()))
-            curves["t_rmse"].append(t_rmse_fn(out["pred"].detach(), gt_t))
-            if log_every and (step % log_every == 0 or step == n_steps - 1):
-                print(f"step {step:4d} | torch loss {curves['t_loss'][-1]:.4f}"
-                      f" rmse {curves['t_rmse'][-1]:.4f}", flush=True)
-        return curves
-
     cfg = _our_cfg(a).replace(loss="1.0*L1+1.0*L2")
     model = get_model(cfg)
     loss_fn = get_loss(cfg)
