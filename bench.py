@@ -430,8 +430,8 @@ def main():
         "nyu_train": (68.8, 0.18, "images/s"),
         "nyu_bf16_train": (99.1, 0.18, "images/s"),
         "kitti_infer_fork_default_ms": (30.6, 0.18, "ms"),
-        "offset_train": (41.5, 0.18, "images/s (pallas r05)"),
-        "offset_window2_train": (52.5, 0.18, "images/s (pallas r05)"),
+        "offset_train": (45.3, 0.18, "images/s (pallas r05)"),
+        "offset_window2_train": (55.7, 0.18, "images/s (pallas r05)"),
     }
     failures = []
     for key, (want, tol, unit) in pins.items():

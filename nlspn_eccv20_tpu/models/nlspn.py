@@ -451,10 +451,9 @@ def _offset_uses_pallas(cfg: Config, h: int, w: int) -> bool:
     """Resolve the deformable-gather backend for the --offset path.
 
     'pallas' (and 'auto' on a capable backend) routes the fused
-    shift-accumulate kernel pair (ops/pallas/deform_prop.py, r05:
-    identical windowed semantics, custom Pallas backward; measured 355.8
-    vs 410.8 ms/step at NYU b=12 R=4 f32 under scan, further ahead under
-    unroll — docs/PERFORMANCE.md). Never under spatial sharding: Pallas
+    shift-accumulate Pallas kernels (ops/pallas/deform_prop.py, r05:
+    identical windowed semantics, custom Pallas backward; measured
+    264.7 vs 410.8 ms/step at NYU b=12 R=4 f32 — docs/PERFORMANCE.md). Never under spatial sharding: Pallas
     custom calls are opaque to the SPMD partitioner (config already
     rejects prop_impl='pallas' there; 'auto' resolves to xla).
     """
@@ -751,10 +750,11 @@ class NLSPNModel(nn.Module):
         # so the XLA offset path always runs the scan loop. The Pallas
         # deformable kernel (r05) is ONE custom call per step — its
         # unrolled graph is small like the default path's, compiles in
-        # ~2 min cold, and skips the scan-remat recompute entirely
-        # (measured 303.2 vs 355.8 ms/step at NYU b=12 R=4 f32 —
-        # docs/PERFORMANCE.md), so it honors cfg.prop_loop ('unroll'
-        # default like the fixed-local path).
+        # ~2-3 min cold, and skips the scan-remat recompute entirely
+        # (unroll 303.2 vs scan 355.8 ms/step at NYU b=12 R=4 f32
+        # during bring-up; final kernels 264.7 — docs/PERFORMANCE.md),
+        # so it honors cfg.prop_loop ('unroll' default like the
+        # fixed-local path).
         offset_pallas = cfg.offset and _offset_uses_pallas(
             cfg, new_pred.shape[1], new_pred.shape[2])
         loop_impl = ("scan" if (cfg.offset and k > 2 and not offset_pallas)

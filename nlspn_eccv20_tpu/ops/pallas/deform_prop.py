@@ -27,28 +27,37 @@ compiler at model shapes):
     Measured r05: compiles in seconds where the single-body kernel hung
     >9 min.
 
- 2. **Lane-aligned window reads via a persistent shifted-plane cache.**
-    A window slice shifted by v lanes costs a cross-lane rotate on the
-    VPU — ~900 of them per step was the dominant cost of both the XLA
-    windowed form and the first compiling kernel (measured r05: 3471 us
-    vs 2290 us XLA at 12x228x304 R=4). Instead, the (2R+2kc+2) distinct
-    GLOBAL lane shifts V of the padded plane are materialized ONCE per
-    batch element into a VMEM scratch that persists across the K2 grid
-    programs; the window walk then iterates global (U, V) shifts where
-    every read ``cache[V][rp+U : rp+U+h, :]`` is a static, lane-aligned
-    row slice. Per-neighbor truncation (the windowed form's semantics
-    for escaped offsets) is enforced by scalar masks
-    ``U - dy in [-R, R+1]`` computed from the program id — no dynamic
-    indexing anywhere.
+ 2. **Vreg-aligned window reads via persistent pre-shifted plane
+    caches.** A window slice shifted by v lanes costs a cross-lane
+    rotate on the VPU — ~900 of them per step was the dominant cost of
+    both the XLA windowed form and the first compiling kernel (measured
+    r05: 3471 us vs 2290 us XLA at 12x228x304 R=4). Instead, pre-shifted
+    copies of the padded plane are materialized ONCE per batch element
+    into VMEM scratch that persists across the K2 grid programs — all
+    nv*nv (U, V) combinations when they fit the VMEM stack budget
+    (``_full_cache_ok``; ~40 MB at NYU R=4), else the nv lane shifts.
+    On full-cache shapes the walk then iterates the RELATIVE window:
+    exactly the (2R+2)^2 active terms, no masks, every read a fully
+    aligned whole plane selected by a DYNAMIC LEADING index (supported
+    by Mosaic; dynamic SUBLANE starts are NOT — they demand provable
+    8-alignment). The one-level fallback walks global (U, V) shifts
+    with scalar masks and per-read sublane rotates. Measured forward
+    progression: 3471 naive -> 2702 one-level -> 2263 masked full-cache
+    -> 1920 us relative (XLA: 2290).
 
-The backward is ALSO a Pallas kernel (the train step is fwd+bwd and the
-XLA backward dominates it: 14.5 ms vs 2.3 ms fwd standalone): same grid,
-daff / doffset written per neighbor, and dP accumulated into per-V
-lane-aligned scratch accumulators merged into the revolving padded-dP
-output with (2R+2kc+2) lane-shifted slice-adds in the last program. All
-gradients are deterministic (vs the reference's atomicAdd col2im scatter,
-cuh:196-254); the tent-weight derivative reproduces the CUDA coordinate
-gradients (mdmcn_get_coordinate_weight, cuh:83-125).
+The backward is ALSO Pallas (the train step is fwd+bwd and the XLA
+backward dominates it: 12.3 ms vs 2.3 ms fwd standalone). On full-cache
+shapes it is TWO kernels — a read kernel (daff/doffset over the cache2
+relative walk) and a dP SCATTER kernel that needs no plane reads at all
+(tent products of off/aff/g accumulated into a (U,V)-indexed scratch,
+merged with static offsets in the last program); the split halves the
+per-call VMEM stack (the combined form measured 113.5 MB > the cap).
+One-level shapes keep a single combined kernel. Standalone fwd+bwd:
+9.05 vs 14.6 ms XLA (1.61x). All gradients are deterministic (vs the
+reference's atomicAdd col2im scatter, cuh:196-254); the tent-weight
+derivative reproduces the CUDA coordinate gradients
+(mdmcn_get_coordinate_weight, cuh:83-125) under JAX's subgradient
+conventions at the measure-zero ties.
 
 Layouts are planar (minor dims (H, W) tile the 8x128 VPU registers; a
 trailing singleton channel would pad 128x in the lane dim — see
@@ -127,17 +136,22 @@ def _full_cache_ok(h: int, w: int, kernel: int, radius: int,
     The one-level cache leaves a sublane rotate on every window read (the
     row offset rp+U is not a multiple of the 8-row vreg tile) and, in the
     backward, on every dP accumulate. Materializing all nv*nv (U, V)
-    pre-shifted planes once per batch makes every in-loop READ fully
+    pre-shifted planes once per batch makes every in-loop access fully
     vreg-aligned — ~40 MB at NYU R=4, so it is shape-gated; KITTI-width
     planes fall back to the one-level variant. n_big counts nv*nv
-    buffers (1 for both directions: the read cache; the backward's dP
-    accumulator stays in the compact per-V form — a second nv*nv buffer
-    measured 102M > the 100M VMEM stack cap at NYU shapes).
+    buffers (1 forward: the read cache; 2 backward: read cache + the
+    (U,V)-indexed dP accumulator — affordable once the relative window
+    walk dropped the one-level cache and the extra tent planes; the
+    earlier masked-walk version measured 102M > the 100M cap).
     """
     kc, rp, nv = _geom(kernel, radius)
     big = nv * nv * h * w * 4
     slack = 20 * (h + 2 * rp) * (w + 2 * rp) * 4
-    return n_big * big + slack <= _VMEM_LIMIT
+    # n_big is the LARGEST per-call count: the backward splits into a read
+    # call (cache2) and a scatter call (dacc2), each holding ONE nv*nv
+    # buffer — the combined single-call form measured 113.5M > the cap.
+    del n_big
+    return big + slack <= _VMEM_LIMIT
 
 
 # ---------------------------------------------------------------------------
@@ -174,32 +188,48 @@ def _fwd_kernel(p_ref, off_ref, aff_ref, out_ref, cache_ref, cache2_ref, *,
             for vi, v_g in enumerate(range(-radius - kc, radius + kc + 2)):
                 cache_ref[vi] = p[:, rp + v_g:rp + v_g + w]
 
-    ty = off_ref[0, 0] + dy.astype(jnp.float32)
-    tx = off_ref[0, 1] + dx.astype(jnp.float32)
-
-    # horizontal tent weights per GLOBAL lane shift V, masked to the
-    # neighbor's window [dx-R, dx+R+1] (exact truncation semantics of the
-    # windowed form for offsets beyond the window)
-    wxs = []
-    for v_g in range(-radius - kc, radius + kc + 2):
-        in_win = jnp.logical_and(v_g - dx >= -radius, v_g - dx <= radius + 1)
-        wxs.append(jnp.where(
-            in_win, jnp.maximum(0.0, 1.0 - jnp.abs(tx - v_g)), 0.0))
+    oy = off_ref[0, 0]
+    ox = off_ref[0, 1]
 
     acc = jnp.zeros((h, w), jnp.float32)
-    for ui, u_g in enumerate(range(-radius - kc, radius + kc + 2)):
-        in_win = jnp.logical_and(u_g - dy >= -radius, u_g - dy <= radius + 1)
-        wy = jnp.where(
-            in_win, jnp.maximum(0.0, 1.0 - jnp.abs(ty - u_g)), 0.0)
-        row = jnp.zeros((h, w), jnp.float32)
-        for vi in range(nv):
-            if full_cache:
-                bs = cache2_ref[ui * nv + vi]
-            else:
-                # lane-aligned but sublane-rotated row slice
-                bs = cache_ref[vi, rp + u_g:rp + u_g + h, :]
-            row = row + bs * wxs[vi]
-        acc = acc + row * wy
+    if full_cache:
+        # RELATIVE window walk: exactly the (2R+2)^2 active terms of this
+        # neighbor's window, tent-weighted by the recentered offsets
+        # (hat(ty - u) == hat(oy - u') for u = dy + u') with NO masks —
+        # the relative window IS the truncation window, so escaped-offset
+        # semantics match the windowed mirror by construction. The cache
+        # plane is selected by a DYNAMIC leading index (Mosaic supports
+        # it — probed r05); vs the masked global walk this drops ~30%
+        # dead terms and all mask arithmetic.
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - v))
+               for v in range(-radius, radius + 2)]
+        for ui, u_r in enumerate(range(-radius, radius + 2)):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - u_r))
+            base = (dy + u_r + radius + kc) * nv + dx + kc
+            row = jnp.zeros((h, w), jnp.float32)
+            for vi in range(2 * radius + 2):
+                row = row + cache2_ref[base + vi] * wxs[vi]
+            acc = acc + row * wy
+    else:
+        # one-level cache fallback (KITTI-width shapes): masked GLOBAL
+        # walk over lane-shifted planes; reads carry a sublane rotate
+        ty = oy + dy.astype(jnp.float32)
+        tx = ox + dx.astype(jnp.float32)
+        wxs = []
+        for v_g in range(-radius - kc, radius + kc + 2):
+            in_win = jnp.logical_and(v_g - dx >= -radius,
+                                     v_g - dx <= radius + 1)
+            wxs.append(jnp.where(
+                in_win, jnp.maximum(0.0, 1.0 - jnp.abs(tx - v_g)), 0.0))
+        for ui, u_g in enumerate(range(-radius - kc, radius + kc + 2)):
+            in_win = jnp.logical_and(u_g - dy >= -radius,
+                                     u_g - dy <= radius + 1)
+            wy = jnp.where(
+                in_win, jnp.maximum(0.0, 1.0 - jnp.abs(ty - u_g)), 0.0)
+            row = jnp.zeros((h, w), jnp.float32)
+            for vi in range(nv):
+                row = row + cache_ref[vi, rp + u_g:rp + u_g + h, :] * wxs[vi]
+            acc = acc + row * wy
     contrib = acc * aff_ref[0, 0]
 
     @pl.when(k == 0)
@@ -279,77 +309,146 @@ def _bwd_kernel(p_ref, off_ref, aff_ref, g_ref, dp_ref, doff_ref, daff_ref,
         else:
             for vi, v_g in enumerate(range(-radius - kc, radius + kc + 2)):
                 cache_ref[vi] = p[:, rp + v_g:rp + v_g + w]
-        dacc_ref[...] = jnp.zeros(dacc_ref.shape, jnp.float32)
+        if not full_cache:
+            dacc_ref[...] = jnp.zeros(dacc_ref.shape, jnp.float32)
 
-    ty = off_ref[0, 0] + dy.astype(jnp.float32)
-    tx = off_ref[0, 1] + dx.astype(jnp.float32)
+    oy = off_ref[0, 0]
+    ox = off_ref[0, 1]
     g = g_ref[0]
     a = aff_ref[0, 0]
     q = a * g
 
-    # Tent weights and their d/d(offset) per global shift, window-masked.
-    # d/dt max(0, 1-|t|) = -sign(t) strictly inside the support, 0 outside
-    # — with JAX's subgradient conventions at the measure-zero ties, which
-    # the mirror's autodiff uses and integer-valued offsets DO hit (a
-    # 15M-sample TPU fuzz found one in r05; the integer-offset unit test
-    # hits them densely): d|t|/dt at t == 0 is +1 (not sign(0) == 0), and
-    # at the support edge |t| == 1 jnp.maximum splits the tie, factor 1/2.
-    def _dhat(t, az, in_win):
+    # Tent weights and their d/d(offset). d/dt max(0, 1-|t|) = -sign(t)
+    # strictly inside the support, 0 outside — with JAX's subgradient
+    # conventions at the measure-zero ties, which the mirror's autodiff
+    # uses and integer-valued offsets DO hit (a 15M-sample TPU fuzz found
+    # one in r05; the integer-offset unit test hits them densely):
+    # d|t|/dt at t == 0 is +1 (not sign(0) == 0), and at the support edge
+    # |t| == 1 jnp.maximum splits the tie, factor 1/2.
+    def _dhat(t, az, in_win=None):
         sgn = jnp.where(t >= 0.0, 1.0, -1.0)
         mag = jnp.where(az < 1.0, 1.0, jnp.where(az == 1.0, 0.5, 0.0))
-        return jnp.where(in_win, -sgn * mag, 0.0)
-
-    wxs, dwxs = [], []
-    for v_g in range(-radius - kc, radius + kc + 2):
-        in_win = jnp.logical_and(v_g - dx >= -radius, v_g - dx <= radius + 1)
-        t = tx - v_g
-        az = jnp.abs(t)
-        wxs.append(jnp.where(in_win, jnp.maximum(0.0, 1.0 - az), 0.0))
-        dwxs.append(_dhat(t, az, in_win))
+        d = -sgn * mag
+        return d if in_win is None else jnp.where(in_win, d, 0.0)
 
     s = jnp.zeros((h, w), jnp.float32)     # re-gathered fwd sum (no aff)
     doy = jnp.zeros((h, w), jnp.float32)
     dox = jnp.zeros((h, w), jnp.float32)
-    for ui, u_g in enumerate(range(-radius - kc, radius + kc + 2)):
-        in_win = jnp.logical_and(u_g - dy >= -radius, u_g - dy <= radius + 1)
-        t = ty - u_g
-        az = jnp.abs(t)
-        wy = jnp.where(in_win, jnp.maximum(0.0, 1.0 - az), 0.0)
-        dwy = _dhat(t, az, in_win)
-        r = jnp.zeros((h, w), jnp.float32)   # sum_V wx * B
-        r2 = jnp.zeros((h, w), jnp.float32)  # sum_V dwx * B
-        qy = q * wy
-        for vi in range(nv):
-            if full_cache:
-                bs = cache2_ref[ui * nv + vi]
-            else:
+    if full_cache:
+        # relative window walk (see _fwd_kernel): no masks, (2R+2)^2
+        # active terms; cache planes and dP accumulator rows selected by
+        # dynamic indices (probed supported on this Mosaic stack).
+        wxs, dwxs = [], []
+        for v_r in range(-radius, radius + 2):
+            t = ox - v_r
+            az = jnp.abs(t)
+            wxs.append(jnp.maximum(0.0, 1.0 - az))
+            dwxs.append(_dhat(t, az))
+        for ui, u_r in enumerate(range(-radius, radius + 2)):
+            t = oy - u_r
+            az = jnp.abs(t)
+            wy = jnp.maximum(0.0, 1.0 - az)
+            dwy = _dhat(t, az)
+            r = jnp.zeros((h, w), jnp.float32)   # sum_v wx * B
+            r2 = jnp.zeros((h, w), jnp.float32)  # sum_v dwx * B
+            base = (dy + u_r + radius + kc) * nv + dx + kc
+            for vi in range(2 * radius + 2):
+                bs = cache2_ref[base + vi]
+                r = r + bs * wxs[vi]
+                r2 = r2 + bs * dwxs[vi]
+            s = s + r * wy
+            doy = doy + r * dwy
+            dox = dox + r2 * wy
+    else:
+        ty = oy + dy.astype(jnp.float32)
+        tx = ox + dx.astype(jnp.float32)
+        wxs, dwxs = [], []
+        for v_g in range(-radius - kc, radius + kc + 2):
+            in_win = jnp.logical_and(v_g - dx >= -radius,
+                                     v_g - dx <= radius + 1)
+            t = tx - v_g
+            az = jnp.abs(t)
+            wxs.append(jnp.where(in_win, jnp.maximum(0.0, 1.0 - az), 0.0))
+            dwxs.append(_dhat(t, az, in_win))
+        for ui, u_g in enumerate(range(-radius - kc, radius + kc + 2)):
+            in_win = jnp.logical_and(u_g - dy >= -radius,
+                                     u_g - dy <= radius + 1)
+            t = ty - u_g
+            az = jnp.abs(t)
+            wy = jnp.where(in_win, jnp.maximum(0.0, 1.0 - az), 0.0)
+            dwy = _dhat(t, az, in_win)
+            r = jnp.zeros((h, w), jnp.float32)   # sum_V wx * B
+            r2 = jnp.zeros((h, w), jnp.float32)  # sum_V dwx * B
+            qy = q * wy
+            for vi in range(nv):
                 bs = cache_ref[vi, rp + u_g:rp + u_g + h, :]
-            r = r + bs * wxs[vi]
-            r2 = r2 + bs * dwxs[vi]
-            # dP contribution lands at target+(U, V): accumulate into
-            # the per-V plane at row offset U (lane-aligned; the row
-            # rotate stays — a full nv*nv accumulator alongside the
-            # nv*nv read cache measured 102M > the 100M VMEM stack cap),
-            # lane-merged once at the end.
-            dacc_ref[vi, rp + u_g:rp + u_g + h, :] = (
-                dacc_ref[vi, rp + u_g:rp + u_g + h, :] + qy * wxs[vi])
-        s = s + r * wy
-        doy = doy + r * dwy
-        dox = dox + r2 * wy
+                r = r + bs * wxs[vi]
+                r2 = r2 + bs * dwxs[vi]
+                dacc_ref[vi, rp + u_g:rp + u_g + h, :] = (
+                    dacc_ref[vi, rp + u_g:rp + u_g + h, :] + qy * wxs[vi])
+            s = s + r * wy
+            doy = doy + r * dwy
+            dox = dox + r2 * wy
 
     daff_ref[0, 0] = s * g
     doff_ref[0, 0] = doy * q
     doff_ref[0, 1] = dox * q
 
+    if not full_cache:
+        @pl.when(k == k2 - 1)
+        def _merge_dp():
+            # jnp .at[].add on a value would lower to scatter-add
+            # (unsupported by Mosaic); slice read-modify-writes on the
+            # ref lower to plain vector ops.
+            dp_ref[0] = jnp.zeros((h + 2 * rp, w + 2 * rp), jnp.float32)
+            for vi, v_g in enumerate(range(-radius - kc, radius + kc + 2)):
+                dp_ref[0, :, rp + v_g:rp + v_g + w] = (
+                    dp_ref[0, :, rp + v_g:rp + v_g + w] + dacc_ref[vi])
+
+
+def _bwd_scatter_kernel(off_ref, aff_ref, g_ref, dp_ref, dacc_ref, *,
+                        kernel: int, radius: int, h: int, w: int):
+    """dP scatter as its own kernel (full-cache shapes): it needs NO plane
+    reads — only the tent products of (offset, aff, g) — so splitting it
+    from the read kernel halves the per-call VMEM stack (the combined
+    version needed cache2 + dacc2 = 113.5 MB > the chip's headroom).
+    Accumulates qy*wx into the (U, V)-global plane selected by a DYNAMIC
+    LEADING index with fully static rows (a dynamic sublane start is
+    rejected by Mosaic: "cannot statically prove index is a multiple of
+    8"); merged into the padded-dP output with static offsets at the
+    last program."""
+    k = pl.program_id(1)
+    k2 = kernel * kernel
+    kc, rp, nv = _geom(kernel, radius)
+    dy = k // kernel - kc
+    dx = jax.lax.rem(k, kernel) - kc
+
+    @pl.when(k == 0)
+    def _zero():
+        dacc_ref[...] = jnp.zeros(dacc_ref.shape, jnp.float32)
+
+    oy = off_ref[0, 0]
+    ox = off_ref[0, 1]
+    q = aff_ref[0, 0] * g_ref[0]
+
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ox - v))
+           for v in range(-radius, radius + 2)]
+    for u_r in range(-radius, radius + 2):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - u_r))
+        qy = q * wy
+        base = (dy + u_r + radius + kc) * nv + dx + kc
+        for vi in range(2 * radius + 2):
+            dacc_ref[base + vi] = dacc_ref[base + vi] + qy * wxs[vi]
+
     @pl.when(k == k2 - 1)
     def _merge_dp():
-        # jnp .at[].add on a value would lower to scatter-add (unsupported
-        # by Mosaic); slice read-modify-writes on the ref lower to plain
-        # vector ops.
         dp_ref[0] = jnp.zeros((h + 2 * rp, w + 2 * rp), jnp.float32)
-        for vi, v_g in enumerate(range(-radius - kc, radius + kc + 2)):
-            dp_ref[0, :, rp + v_g:rp + v_g + w] = (
-                dp_ref[0, :, rp + v_g:rp + v_g + w] + dacc_ref[vi])
+        for ui, u_g in enumerate(range(-radius - kc, radius + kc + 2)):
+            for vi, v_g in enumerate(range(-radius - kc, radius + kc + 2)):
+                y0, x0 = rp + u_g, rp + v_g
+                dp_ref[0, y0:y0 + h, x0:x0 + w] = (
+                    dp_ref[0, y0:y0 + h, x0:x0 + w]
+                    + dacc_ref[ui * nv + vi])
 
 
 def _deform_bwd_pallas(feat_p, off_p, aff_p, g, *, kernel: int, radius: int):
@@ -358,52 +457,102 @@ def _deform_bwd_pallas(feat_p, off_p, aff_p, g, *, kernel: int, radius: int):
     kc, rp, nv = _geom(kernel, radius)
     p = jnp.pad(feat_p, ((0, 0), (rp, rp), (rp, rp)))
 
-    full_cache = _full_cache_ok(h, w, kernel, radius, n_big=1)
-    kern = functools.partial(_bwd_kernel, kernel=kernel, radius=radius,
-                             h=h, w=w, full_cache=full_cache)
+    full_cache = _full_cache_ok(h, w, kernel, radius, n_big=2)
+    if full_cache:
+        def kern(p_ref, off_ref, aff_ref, g_ref, doff_ref, daff_ref,
+                 c1, c2, dacc):
+            _bwd_kernel(p_ref, off_ref, aff_ref, g_ref, None, doff_ref,
+                        daff_ref, c1, c2, dacc, kernel=kernel,
+                        radius=radius, h=h, w=w, full_cache=True)
+    else:
+        kern = functools.partial(_bwd_kernel, kernel=kernel, radius=radius,
+                                 h=h, w=w, full_cache=False)
     bytes_plane = h * w * 4
     plane_spec = pl.BlockSpec((1, h + 2 * rp, w + 2 * rp),
                               lambda i, k: (i, 0, 0),
                               memory_space=pltpu.VMEM)
-    dp_pad, doff, daff = pl.pallas_call(
-        kern,
-        grid=(b, k2),
-        in_specs=[
-            plane_spec,
-            pl.BlockSpec((1, 2, h, w), lambda i, k: (i, k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h, w), lambda i, k: (i, k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i, k: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            plane_spec,
-            pl.BlockSpec((1, 2, h, w), lambda i, k: (i, k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h, w), lambda i, k: (i, k, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h + 2 * rp, w + 2 * rp), feat_p.dtype),
-            jax.ShapeDtypeStruct((b, 2 * k2, h, w), feat_p.dtype),
-            jax.ShapeDtypeStruct((b, k2, h, w), feat_p.dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, 1, 1) if full_cache else (nv, h + 2 * rp, w),
-                       jnp.float32),                        # lane-shifted
-            pltpu.VMEM((nv * nv, h, w) if full_cache else (1, 1, 1),
-                       jnp.float32),                        # (U,V) planes
-            pltpu.VMEM((nv, h + 2 * rp, w), jnp.float32),   # dP accum
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=8 * b * k2 * nv * nv * h * w,
-            bytes_accessed=b * bytes_plane * (6 * k2 + 4),
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=_interpret(),
-    )(p, off_p, aff_p, g)
+    off_spec = pl.BlockSpec((1, 2, h, w), lambda i, k: (i, k, 0, 0),
+                            memory_space=pltpu.VMEM)
+    aff_spec = pl.BlockSpec((1, 1, h, w), lambda i, k: (i, k, 0, 0),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, h, w), lambda i, k: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    if full_cache:
+        # Two calls (see _bwd_scatter_kernel's docstring): the read
+        # kernel (daff/doff, cache2-resident) and the dP scatter
+        # (dacc2-resident, no plane reads) — each ~52 MB of stack where
+        # the combined version needed 113.5 MB.
+        doff, daff = pl.pallas_call(
+            kern,
+            grid=(b, k2),
+            in_specs=[plane_spec, off_spec, aff_spec, g_spec],
+            out_specs=(off_spec, aff_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, 2 * k2, h, w), feat_p.dtype),
+                jax.ShapeDtypeStruct((b, k2, h, w), feat_p.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, 1, 1), jnp.float32),
+                pltpu.VMEM((nv * nv, h, w), jnp.float32),  # read cache
+                pltpu.VMEM((1, 1, 1), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=6 * b * k2 * (2 * radius + 2) ** 2 * h * w,
+                bytes_accessed=b * bytes_plane * (4 * k2 + 2),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=_interpret(),
+        )(p, off_p, aff_p, g)
+        scat = functools.partial(_bwd_scatter_kernel, kernel=kernel,
+                                 radius=radius, h=h, w=w)
+        dp_pad = pl.pallas_call(
+            scat,
+            grid=(b, k2),
+            in_specs=[off_spec, aff_spec, g_spec],
+            out_specs=plane_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h + 2 * rp, w + 2 * rp),
+                                           feat_p.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((nv * nv, h, w), jnp.float32),  # dP accum
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=3 * b * k2 * (2 * radius + 2) ** 2 * h * w,
+                bytes_accessed=b * bytes_plane * (3 * k2 + 2),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=_interpret(),
+        )(off_p, aff_p, g)
+    else:
+        dp_pad, doff, daff = pl.pallas_call(
+            kern,
+            grid=(b, k2),
+            in_specs=[plane_spec, off_spec, aff_spec, g_spec],
+            out_specs=(plane_spec, off_spec, aff_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h + 2 * rp, w + 2 * rp),
+                                     feat_p.dtype),
+                jax.ShapeDtypeStruct((b, 2 * k2, h, w), feat_p.dtype),
+                jax.ShapeDtypeStruct((b, k2, h, w), feat_p.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nv, h + 2 * rp, w), jnp.float32),  # lane cache
+                pltpu.VMEM((1, 1, 1), jnp.float32),
+                pltpu.VMEM((nv, h + 2 * rp, w), jnp.float32),  # dP accum
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=8 * b * k2 * nv * nv * h * w,
+                bytes_accessed=b * bytes_plane * (6 * k2 + 4),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=_interpret(),
+        )(p, off_p, aff_p, g)
     # Contributions landing in the zero-pad region are dropped, exactly as
     # the forward's zero padding drops those reads.
     dfeat = dp_pad[:, rp:rp + h, rp:rp + w]
