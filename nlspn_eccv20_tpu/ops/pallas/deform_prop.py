@@ -89,7 +89,10 @@ except Exception:  # pragma: no cover
 # VMEM — and this body's value temporaries exceed it at model shapes
 # (measured: 32.8 MB at 12x228x304 R=4), so the pallas_calls raise
 # vmem_limit_bytes and this budget gates shapes that would exceed even that.
-_VMEM_LIMIT = 100 * 1024 * 1024
+# 102 MB: the KITTI-shape one-level forward measures 100.02M of stack (24K
+# over a 100M cap); the chip has ~128 MB VMEM and the largest per-call
+# in/out block set is ~10 MB, so 102M leaves real headroom.
+_VMEM_LIMIT = 102 * 1024 * 1024
 
 
 def deform_prop_available() -> bool:
@@ -117,16 +120,22 @@ def _geom(kernel: int, radius: int):
 
 def deform_prop_supported(h: int, w: int, kernel: int = 3,
                           radius: int = 4) -> bool:
-    """Static check: one (batch, neighbor) program's working set fits the
-    raised VMEM limit. Counted planes (fp32): padded plane + out + dP +
-    shifted-plane cache (nv) + dP accumulators (nv, backward) + the cached
-    tent/derivative planes (~2*nv) + off/aff/g blocks + ~8 temporaries.
+    """Static production-support gate: full-cache shapes only.
+
+    The one-level (lane-shifted-cache) variants exist and are
+    parity-tested, but at KITTI width the one-level BACKWARD's masked
+    walk makes Mosaic's register allocator spill 166.8 MB of slots —
+    215.7 MB total vs the 128 MB VMEM (measured r05, hard compile
+    error). The forward alone compiles there (100.02 M stack), but
+    training needs the backward, so the production router only takes
+    shapes where the fully-aligned relative-window kernels fit
+    (`_full_cache_ok`; NYU-class plane sizes). Everything else runs the
+    XLA windowed form — KITTI-width offset configs keep the pre-r05
+    path.
     """
     if radius < 1 or kernel < 1:
         return False
-    kc, rp, nv = _geom(kernel, radius)
-    plane = (h + 2 * rp) * (w + 2 * rp) * 4
-    return (4 * nv + 16) * plane <= _VMEM_LIMIT
+    return _full_cache_ok(h, w, kernel, radius, n_big=1)
 
 
 def _full_cache_ok(h: int, w: int, kernel: int, radius: int,

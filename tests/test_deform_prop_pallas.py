@@ -125,12 +125,14 @@ def test_tie_subgradient_at_exact_integer_offsets():
 def test_supported_shapes():
     from nlspn_eccv20_tpu.ops.pallas.deform_prop import _full_cache_ok
 
-    assert deform_prop_supported(228, 304, 3, 4)   # NYU
-    assert deform_prop_supported(240, 1216, 3, 4)  # KITTI
+    assert deform_prop_supported(228, 304, 3, 4)   # NYU: full-cache fits
+    # KITTI width: full cache does not fit and the one-level BACKWARD
+    # spills registers past VMEM (measured r05) -> production-unsupported,
+    # the model router keeps the XLA windowed form there
+    assert not deform_prop_supported(240, 1216, 3, 4)
     assert not deform_prop_supported(240, 1216, 3, 200)  # absurd window
-    # the fully-aligned two-level cache fits NYU but not KITTI width
-    assert _full_cache_ok(228, 304, 3, 4, n_big=2)
-    assert not _full_cache_ok(240, 1216, 3, 4, n_big=2)
+    assert _full_cache_ok(228, 304, 3, 4, n_big=1)
+    assert not _full_cache_ok(240, 1216, 3, 4, n_big=1)
 
 
 def test_one_level_cache_variant_parity(monkeypatch):
@@ -154,3 +156,42 @@ def test_one_level_cache_variant_parity(monkeypatch):
                             vjp_pal(g), vjp_ref(g)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_offset_routing_gate():
+    """models/nlspn._offset_uses_pallas: the production routing gate —
+    never under spatial sharding, never for offset_window=0 (exact-path
+    configs), never for prop_impl='xla'; on CPU backends it resolves
+    False (deform_prop_available) so 'auto' stays on the XLA form."""
+    from nlspn_eccv20_tpu.config import Config
+    from nlspn_eccv20_tpu.models.nlspn import _offset_uses_pallas
+
+    base = Config(offset=True, prop_time=3)
+    # CPU backend: available() is False regardless of config
+    assert not _offset_uses_pallas(base, 64, 96)
+    assert not _offset_uses_pallas(base.replace(prop_impl="xla"), 64, 96)
+    assert not _offset_uses_pallas(base.replace(offset_window=0), 64, 96)
+    assert not _offset_uses_pallas(
+        Config(offset=True, num_spatial_shards=2, num_data_shards=2,
+               prop_impl="auto"), 64, 96)
+    assert not _offset_uses_pallas(Config(offset=False), 64, 96)
+
+    # with a faked TPU backend the default config DOES route pallas,
+    # and the spatial-sharding / window-0 gates still override
+    import nlspn_eccv20_tpu.models.nlspn as m
+
+    orig = m.__dict__.get("_offset_uses_pallas")
+    import nlspn_eccv20_tpu.ops.pallas.deform_prop as dp
+    real = dp.deform_prop_available
+    dp.deform_prop_available = lambda: True
+    try:
+        assert _offset_uses_pallas(base, 64, 96)
+        assert not _offset_uses_pallas(
+            Config(offset=True, num_spatial_shards=2, num_data_shards=2),
+            64, 96)
+        assert not _offset_uses_pallas(base.replace(offset_window=0), 64, 96)
+        # unsupported shape (absurd window) falls back too
+        assert not _offset_uses_pallas(
+            base.replace(offset_window=200), 2048, 2048)
+    finally:
+        dp.deform_prop_available = real
