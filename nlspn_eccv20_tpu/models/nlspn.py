@@ -447,28 +447,44 @@ class Heads(nn.Module):
         return pred_init_p, off_aff_p, conf_p
 
 
-def _offset_uses_pallas(cfg: Config, h: int, w: int) -> bool:
+def _offset_uses_pallas(cfg: Config, h: int, w: int,
+                        train: bool = True) -> bool:
     """Resolve the deformable-gather backend for the --offset path.
 
     'pallas' (and 'auto' on a capable backend) routes the fused
     shift-accumulate Pallas kernels (ops/pallas/deform_prop.py, r05:
     identical windowed semantics, custom Pallas backward; measured
-    264.7 vs 410.8 ms/step at NYU b=12 R=4 f32 — docs/PERFORMANCE.md). Never under spatial sharding: Pallas
-    custom calls are opaque to the SPMD partitioner (config already
-    rejects prop_impl='pallas' there; 'auto' resolves to xla).
+    264.7 vs 410.8 ms/step at NYU b=12 R=4 f32, KITTI offset train
+    571.0 -> 420.0 ms via width tiling — docs/PERFORMANCE.md). Never
+    under spatial sharding: Pallas custom calls are opaque to the SPMD
+    partitioner (config already rejects prop_impl='pallas' there; 'auto'
+    resolves to xla). On WIDTH-TILED shapes (KITTI-class,
+    `_width_tiles` > 1) 'auto' routes pallas for TRAINING only: the
+    tiled kernels win the train step (+36%) but lose eval/serving
+    (KITTI b=1 37.83 vs 26.57 ms xla — the tile gather/scatter rides on
+    every cond branch), while untiled shapes win both (NYU b=1 5.73 vs
+    6.46 ms, b=12 eval 65.1 vs 85.0 ms).
     """
     if not (cfg.offset and cfg.offset_window):
         return False
     if cfg.prop_impl not in ("auto", "pallas") or cfg.num_spatial_shards > 1:
         return False
     from nlspn_eccv20_tpu.ops.pallas.deform_prop import (
+        _width_tiles,
         deform_prop_available,
         deform_prop_supported,
     )
 
-    return (deform_prop_available()
+    if not (deform_prop_available()
             and deform_prop_supported(h, w, cfg.prop_kernel,
-                                      cfg.offset_window))
+                                      cfg.offset_window)):
+        return False
+    if cfg.prop_impl == "pallas":
+        return True  # explicit user choice
+    if not train and (_width_tiles(h, w, cfg.prop_kernel,
+                                   cfg.offset_window) or 1) > 1:
+        return False
+    return True
 
 
 def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off,
@@ -491,7 +507,7 @@ def _prop_and_blend(cfg: Config, pred, aff, conf, dep, off,
         impl = cfg.prop_impl
         if impl == "auto":
             impl = "pallas" if _offset_uses_pallas(
-                cfg, pred.shape[1], pred.shape[2]) else "xla"
+                cfg, pred.shape[1], pred.shape[2], train=train) else "xla"
         out = propagate_deformable(feat[..., None], off,
                                    jnp.moveaxis(aff, 1, -1),
                                    kernel=cfg.prop_kernel,
@@ -756,7 +772,7 @@ class NLSPNModel(nn.Module):
         # so it honors cfg.prop_loop ('unroll' default like the
         # fixed-local path).
         offset_pallas = cfg.offset and _offset_uses_pallas(
-            cfg, new_pred.shape[1], new_pred.shape[2])
+            cfg, new_pred.shape[1], new_pred.shape[2], train=train)
         loop_impl = ("scan" if (cfg.offset and k > 2 and not offset_pallas)
                      else cfg.prop_loop)
         if k > 1:

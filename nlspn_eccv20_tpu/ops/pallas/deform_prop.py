@@ -128,14 +128,14 @@ def deform_prop_supported(h: int, w: int, kernel: int = 3,
     215.7 MB total vs the 128 MB VMEM (measured r05, hard compile
     error). The forward alone compiles there (100.02 M stack), but
     training needs the backward, so the production router only takes
-    shapes where the fully-aligned relative-window kernels fit
-    (`_full_cache_ok`; NYU-class plane sizes). Everything else runs the
-    XLA windowed form — KITTI-width offset configs keep the pre-r05
-    path.
+    shapes where the fully-aligned relative-window kernels fit —
+    directly (`_full_cache_ok`, NYU-class planes) or via width tiling
+    with an rp halo (`_width_tiles`, KITTI-class planes). Anything else
+    runs the XLA windowed form.
     """
     if radius < 1 or kernel < 1:
         return False
-    return _full_cache_ok(h, w, kernel, radius, n_big=1)
+    return _width_tiles(h, w, kernel, radius) is not None
 
 
 def _full_cache_ok(h: int, w: int, kernel: int, radius: int,
@@ -593,6 +593,60 @@ def _deform_op_bwd(kernel, radius, res, g):
 _deform_op.defvjp(_deform_op_fwd, _deform_op_bwd)
 
 
+def _width_tiles(h: int, w: int, kernel: int, radius: int):
+    """Smallest even width tiling whose tiles fit the full-cache kernels.
+
+    Returns n (1 = untiled). None when even the narrowest sensible tile
+    (>= 64 interior columns) does not fit — then the caller should not
+    route Pallas at all. Tile INPUT width is w/n + 2*rp (the rp halo
+    below), which is what must fit the per-program VMEM budget.
+    """
+    kc, rp, nv = _geom(kernel, radius)
+    for n in range(1, w // 64 + 1):
+        if w % n != 0:
+            continue
+        wt = w // n + 2 * rp
+        big = nv * nv * h * wt * 4
+        slack = 20 * (h + 2 * rp) * (wt + 2 * rp) * 4
+        # 0.85 margin: the estimator undercounts Mosaic's stack
+        # accounting near the cap (measured: a 100.4M estimate compiled
+        # to a 108.8M stack at n=2 KITTI tiles and was refused)
+        if big + slack <= 0.85 * _VMEM_LIMIT:
+            return n
+    return None
+
+
+def _deform_op_tiled(feat_p, off_p, aff_p, kernel: int, radius: int,
+                     n: int):
+    """Width-tiled wrapper over the SAME full-cache kernels: KITTI-wide
+    planes, whose nv^2 cache cannot fit VMEM whole (and whose one-level
+    backward register-spills past VMEM — the r05 pinned negative), are
+    split into n overlapping tiles with an rp-column halo of REAL data,
+    folded into the batch dimension, and interior-sliced after. Interior
+    outputs only ever read within the tile + its halo, so they are exact;
+    at GLOBAL edges the kernel's internal zero padding is exactly the
+    global op's zero padding. The tiling is pure JAX around the
+    custom-VJP op, so autodiff's transpose performs the overlap-add of
+    the tile dP contributions for free. Overhead: 2*rp/tw recomputed halo
+    columns (~4% at KITTI tw=304) + the tile gather/scatter HBM traffic.
+    """
+    b, h, w = feat_p.shape
+    kc, rp, nv = _geom(kernel, radius)
+    tw = w // n
+
+    def tile(x):  # (B, C..., H, W) -> (B*n, C..., H, tw + 2*rp)
+        pad = [(0, 0)] * (x.ndim - 1) + [(rp, rp)]
+        xp = jnp.pad(x, pad)
+        parts = [xp[..., t * tw:t * tw + tw + 2 * rp] for t in range(n)]
+        return jnp.concatenate([p[:, None] for p in parts], axis=1).reshape(
+            (b * n,) + x.shape[1:-1] + (tw + 2 * rp,))
+
+    out_t = _deform_op(tile(feat_p), tile(off_p), tile(aff_p), kernel,
+                       radius)
+    out_t = out_t.reshape(b, n, h, tw + 2 * rp)[..., rp:rp + tw]
+    return jnp.moveaxis(out_t, 1, 2).reshape(b, h, w)
+
+
 def propagate_deformable_pallas(feat, offset, aff, kernel: int = 3,
                                 radius: int = 4):
     """Drop-in for ops.propagate.propagate_deformable_windowed (NHWC),
@@ -602,10 +656,16 @@ def propagate_deformable_pallas(feat, offset, aff, kernel: int = 3,
     Same truncated-window semantics as the XLA windowed form for ALL
     offsets (exact iff |offset| <= radius); callers wanting the runtime
     exact fallback go through ops.propagate.propagate_deformable.
+    Wide planes are width-tiled (see _deform_op_tiled).
     """
     from nlspn_eccv20_tpu.ops.pallas.shard import shard_over_data
 
+    h, w = feat.shape[1], feat.shape[2]
+    n = _width_tiles(h, w, kernel, radius) or 1
+
     def core(f, o, a):
+        if n > 1:
+            return _deform_op_tiled(f, o, a, kernel, radius, n)
         return _deform_op(f, o, a, kernel, radius)
 
     out = shard_over_data(

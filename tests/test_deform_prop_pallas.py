@@ -123,16 +123,50 @@ def test_tie_subgradient_at_exact_integer_offsets():
 
 
 def test_supported_shapes():
-    from nlspn_eccv20_tpu.ops.pallas.deform_prop import _full_cache_ok
+    from nlspn_eccv20_tpu.ops.pallas.deform_prop import (
+        _full_cache_ok,
+        _width_tiles,
+    )
 
     assert deform_prop_supported(228, 304, 3, 4)   # NYU: full-cache fits
-    # KITTI width: full cache does not fit and the one-level BACKWARD
-    # spills registers past VMEM (measured r05) -> production-unsupported,
-    # the model router keeps the XLA windowed form there
-    assert not deform_prop_supported(240, 1216, 3, 4)
-    assert not deform_prop_supported(240, 1216, 3, 200)  # absurd window
-    assert _full_cache_ok(228, 304, 3, 4, n_big=1)
+    assert _width_tiles(228, 304, 3, 4) == 1       # untiled
+    # KITTI width: the full cache does not fit whole (and the one-level
+    # BACKWARD register-spills past VMEM, measured r05) -> served by the
+    # width-tiled wrapper over the same full-cache kernels
     assert not _full_cache_ok(240, 1216, 3, 4, n_big=1)
+    assert deform_prop_supported(240, 1216, 3, 4)
+    assert (_width_tiles(240, 1216, 3, 4) or 0) > 1
+    assert not deform_prop_supported(240, 1216, 3, 200)  # absurd window
+
+
+def test_width_tiled_matches_untiled_and_mirror():
+    """The width-tiled wrapper (overlapping rp-halo tiles folded into
+    batch, interior-sliced) must be EXACT vs both the untiled op and the
+    windowed mirror — forward and gradients (the tiling's vjp performs
+    the dP overlap-add)."""
+    from nlspn_eccv20_tpu.ops.pallas.deform_prop import _deform_op_tiled
+
+    feat, off, aff = _inputs(2, 10, 24, 3, 1.5, seed=13)
+    fp, op, ap = feat[..., 0], jnp.moveaxis(off, -1, 1), jnp.moveaxis(aff, -1, 1)
+
+    def tiled(f, o, a):
+        return _deform_op_tiled(f, o, a, 3, 2, n=3)  # 3 tiles of 8 cols
+
+    out_t, vjp_t = jax.vjp(tiled, fp, op, ap)
+    out_u, vjp_u = jax.vjp(lambda f, o, a: _deform_op(f, o, a, 3, 2),
+                           fp, op, ap)
+    out_m, vjp_m = jax.vjp(
+        functools.partial(_pure_windowed_planar, kernel=3, radius=2),
+        fp, op, ap)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_u),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_m),
+                               rtol=1e-5, atol=1e-5)
+    g = jnp.asarray(np.random.default_rng(3).standard_normal(out_t.shape),
+                    jnp.float32)
+    for name, a_, b_ in zip(("dfeat", "doff", "daff"), vjp_t(g), vjp_m(g)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
 
 
 def test_one_level_cache_variant_parity(monkeypatch):
@@ -193,5 +227,14 @@ def test_offset_routing_gate():
         # unsupported shape (absurd window) falls back too
         assert not _offset_uses_pallas(
             base.replace(offset_window=200), 2048, 2048)
+        # WIDTH-TILED shapes (KITTI-class): pallas for TRAIN only —
+        # the tiled kernels lose eval/serving (measured r05)
+        assert _offset_uses_pallas(base, 240, 1216, train=True)
+        assert not _offset_uses_pallas(base, 240, 1216, train=False)
+        # explicit 'pallas' honors the user in eval too
+        assert _offset_uses_pallas(base.replace(prop_impl="pallas"),
+                                   240, 1216, train=False)
+        # untiled shapes route pallas in both modes
+        assert _offset_uses_pallas(base, 228, 304, train=False)
     finally:
         dp.deform_prop_available = real
