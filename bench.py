@@ -380,6 +380,16 @@ def main():
         _eprint(f"NYU offset train step (b=12, window=2): {dt*1e3:.1f} ms "
                 f"-> {imgs:.1f} images/s (r04 xla: 294.5 ms)")
 
+    def s_kitti_offset():
+        # KITTI offset train: width-TILED Pallas kernels (r05,
+        # ops/pallas/deform_prop._deform_op_tiled)
+        cfg_ko = Config(patch_height=240, patch_width=1216, batch_size=3,
+                        max_depth=90.0, num_sample=0, offset=True).finalize()
+        imgs, dt = bench_train_step(cfg_ko, 3, 240, 1216)
+        recorded["kitti_offset_train"] = imgs
+        _eprint(f"KITTI offset train step (b=3): {dt*1e3:.1f} ms -> "
+                f"{imgs:.2f} images/s (r05 xla: 571.0 ms)")
+
     def s_deform():
         r = bench_deform_kernels(12, 228, 304)
         msg = " | ".join(f"{n}: {dt*1e6:.0f}us" if dt else f"{n}: n/a"
@@ -410,6 +420,7 @@ def main():
     section("offset_train", 300, s_offset_train)
     section("offset_bf16_train", 200, s_offset_bf16)
     section("offset_window2_train", 200, s_offset_w2)
+    section("kitti_offset_train", 300, s_kitti_offset)
     section("nyu_infer", 90, s_nyu_infer)
     section("kitti_infer_fork_default", 120, s_kitti_infer)
     section("nyu_infer_routings", 200, s_nyu_routing)
@@ -432,6 +443,7 @@ def main():
         "kitti_infer_fork_default_ms": (30.6, 0.18, "ms"),
         "offset_train": (45.3, 0.18, "images/s (pallas r05)"),
         "offset_window2_train": (55.7, 0.18, "images/s (pallas r05)"),
+        "kitti_offset_train": (7.14, 0.18, "images/s (pallas tiled r05)"),
     }
     failures = []
     for key, (want, tol, unit) in pins.items():
